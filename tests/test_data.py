@@ -1,0 +1,78 @@
+"""Data pipeline tests: label encoding contract, boundary target,
+transform pipeline output shapes, loader batching."""
+
+import numpy as np
+from PIL import Image
+
+from uda_clr_tpu.data.pipeline import BatchLoader
+from uda_clr_tpu.data.synthetic import SyntheticFundus
+from uda_clr_tpu.data.transforms import (
+    Normalize_tf,
+    eval_transforms,
+    to_multilabel,
+    train_transforms,
+)
+
+
+def test_to_multilabel_encoding():
+    pre = np.array([[0, 1], [2, 0]])
+    m = to_multilabel(pre)
+    # class1 (disc rim) -> [0,1]; class2 (cup) -> [1,1]; class0 -> [0,0]
+    np.testing.assert_array_equal(m[0, 0], [0, 0])
+    np.testing.assert_array_equal(m[0, 1], [0, 1])
+    np.testing.assert_array_equal(m[1, 0], [1, 1])
+
+
+def test_normalize_tf_contract():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    label = np.full((64, 64), 255, dtype=np.uint8)
+    label[20:44, 20:44] = 128  # disc
+    label[28:36, 28:36] = 0  # cup
+    s = Normalize_tf()(
+        {"image": Image.fromarray(img), "label": Image.fromarray(label, "L"), "img_name": "x"}
+    )
+    assert s["image"].shape == (64, 64, 3)
+    assert s["image"].min() >= -1.0 and s["image"].max() <= 1.0
+    np.testing.assert_allclose(s["image"], img.astype(np.float32) / 127.5 - 1.0, atol=1e-6)
+    assert s["map"].shape == (64, 64, 2)
+    # cup region sets both channels; disc ring sets only disc
+    assert s["map"][32, 32, 0] == 1 and s["map"][32, 32, 1] == 1
+    assert s["map"][22, 22, 0] == 0 and s["map"][22, 22, 1] == 1
+    assert s["map"][0, 0, 0] == 0 and s["map"][0, 0, 1] == 0
+    assert s["boundary"].shape == (64, 64, 1)
+    assert s["boundary"].max() <= 1.0 and s["boundary"].min() >= 0.0
+    assert s["boundary"].max() > 0.1  # the ring exists
+
+
+def test_train_pipeline_shapes_and_determinism():
+    ds = SyntheticFundus(n=2, size=600, transform=train_transforms(512))
+    a = ds.get(0, np.random.default_rng(42))
+    b = ds.get(0, np.random.default_rng(42))
+    c = ds.get(0, np.random.default_rng(43))
+    assert a["image"].shape == (512, 512, 3)
+    assert a["map"].shape == (512, 512, 2)
+    assert a["boundary"].shape == (512, 512, 1)
+    np.testing.assert_array_equal(a["image"], b["image"])
+    assert not np.array_equal(a["image"], c["image"])  # different seed differs
+
+
+def test_eval_pipeline_and_loader():
+    ds = SyntheticFundus(n=5, size=540, transform=eval_transforms(512))
+    loader = BatchLoader(ds, batch_size=2, shuffle=False, drop_last=False, num_workers=1)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 3
+    assert batches[0]["image"].shape == (2, 512, 512, 3)
+    assert batches[-1]["image"].shape == (1, 512, 512, 3)
+    assert batches[0]["image"].dtype == np.float32
+
+
+def test_loader_drop_last_static_shapes():
+    ds = SyntheticFundus(n=5, size=540, transform=eval_transforms(512))
+    loader = BatchLoader(ds, batch_size=2, shuffle=True, drop_last=True, num_workers=1, seed=7)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    assert all(b["image"].shape[0] == 2 for b in batches)
+    # different epochs shuffle differently
+    b2 = list(loader.epoch(1))
+    assert not np.array_equal(batches[0]["image"], b2[0]["image"])

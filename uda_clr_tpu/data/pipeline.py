@@ -1,0 +1,111 @@
+"""Batched, prefetching host->device input pipeline.
+
+Replaces the reference's ``torch.utils.data.DataLoader(num_workers=6,
+pin_memory=True)`` (train_use_fix_initial.py:170-177) with a
+thread-prefetched numpy batcher: worker threads run the (GIL-releasing
+PIL/scipy) transform pipeline and a background thread keeps a bounded queue
+of ready batches so the TPU step never waits on augmentation. Device
+placement happens in the trainer via ``jax.device_put`` with the mesh
+sharding, so batches land already sharded across chips.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+_BATCH_KEYS = ("image", "map", "boundary")
+
+
+def collate(samples) -> dict:
+    batch = {k: np.stack([s[k] for s in samples]).astype(np.float32) for k in _BATCH_KEYS}
+    batch["img_name"] = [s["img_name"] for s in samples]
+    return batch
+
+
+class BatchLoader:
+    """Iterates shuffled (or sequential) batches forever or per-epoch.
+
+    ``drop_last=True`` keeps shapes static for jit (pad-free); eval uses
+    ``drop_last=False`` with a final partial batch handled host-side.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        num_workers: int = 2,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _epoch_indices(self, epoch: int) -> list[list[int]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            order = np.random.default_rng((self.seed, epoch)).permutation(n)
+        batches = []
+        for i in range(0, n - (n % self.batch_size if self.drop_last else 0), self.batch_size):
+            idx = order[i : i + self.batch_size]
+            if len(idx) == 0 or (self.drop_last and len(idx) < self.batch_size):
+                break
+            batches.append(list(idx))
+        return batches
+
+    def epoch(self, epoch: int | None = None):
+        """Yield one epoch of batches with background prefetch."""
+        if epoch is None:
+            epoch = self._epoch
+            self._epoch += 1
+        batches = self._epoch_indices(epoch)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for bi, idx in enumerate(batches):
+                    if stop.is_set():
+                        return
+                    rngs = [
+                        np.random.default_rng((self.seed, epoch, bi, j))
+                        for j in range(len(idx))
+                    ]
+                    samples = list(pool.map(lambda a: self.dataset.get(*a), zip(idx, rngs)))
+                    q.put(collate(samples))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+    def forever(self):
+        """Endless batch stream (target-domain loader cycling,
+        Trainer_prototype_full.py:279-283)."""
+        epoch = 0
+        while True:
+            yield from self.epoch(epoch)
+            epoch += 1

@@ -1,0 +1,89 @@
+"""DeepLabv3+ composite with the reference's 7-tuple forward contract.
+
+Forward contract (reference networks/deeplabv3.py:32-41), NHWC here:
+    mask_logits      [B, H, W, num_classes]   (x1,  upsampled, align-corners)
+    boundary_logits  [B, H, W, 1]             (x2,  upsampled, align-corners)
+    aspp_feature     [B, H/os, W/os, 256]
+    x_bu_feature     [B, H/4, W/4, 304]
+    x_feature        [B, H/4, W/4, 305]
+    mask_before      [B, H/4, W/4, num_classes]
+    boundary_before  [B, H/4, W/4, 1]
+
+``norm='bn'`` corresponds to the reference's ``sync_bn=True`` wiring (plain
+BatchNorm2d, deeplabv3.py:17-20, which becomes *cross-replica* BN here when
+the batch is sharded over a mesh); ``norm='tn'`` is TransNorm
+(``--use_TN``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from uda_clr_tpu.models.aspp import ASPP
+from uda_clr_tpu.models.decoder import Decoder
+from uda_clr_tpu.models.mobilenet import MobileNetV2
+from uda_clr_tpu.ops.resize import resize_bilinear_align_corners
+
+_LOW_LEVEL_FEATURES = {"mobilenet": 24, "resnet": 256, "drn": 256, "xception": 128}
+
+
+class DeepLabOutputs(NamedTuple):
+    mask_logits: jnp.ndarray
+    boundary_logits: jnp.ndarray
+    aspp_feature: jnp.ndarray
+    x_bu_feature: jnp.ndarray
+    x_feature: jnp.ndarray
+    mask_before: jnp.ndarray
+    boundary_before: jnp.ndarray
+
+
+def build_backbone(backbone: str, output_stride: int, norm: str, dtype: Any):
+    if backbone == "mobilenet":
+        return MobileNetV2(output_stride=output_stride, norm=norm, dtype=dtype, name="backbone")
+    if backbone == "resnet":
+        from uda_clr_tpu.models.resnet import ResNet101
+
+        return ResNet101(output_stride=output_stride, norm=norm, dtype=dtype, name="backbone")
+    if backbone == "xception":
+        from uda_clr_tpu.models.xception import AlignedXception
+
+        return AlignedXception(output_stride=output_stride, norm=norm, dtype=dtype, name="backbone")
+    if backbone == "drn":
+        from uda_clr_tpu.models.drn import DRN_D_54
+
+        return DRN_D_54(norm=norm, dtype=dtype, name="backbone")
+    raise NotImplementedError(f"backbone {backbone!r}")
+
+
+class DeepLab(nn.Module):
+    num_classes: int = 2
+    backbone: str = "mobilenet"
+    output_stride: int = 16
+    norm: str = "bn"  # 'bn' | 'tn'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False, domains: int = 1) -> DeepLabOutputs:
+        output_stride = 8 if self.backbone == "drn" else self.output_stride
+        high, low = build_backbone(self.backbone, output_stride, self.norm, self.dtype)(
+            x, train, domains
+        )
+        feat = ASPP(
+            output_stride=output_stride, norm=self.norm, dtype=self.dtype, name="aspp"
+        )(high, train, domains)
+        x1, boundary, x_bu_feature, x_feature = Decoder(
+            num_classes=self.num_classes,
+            low_level_features=_LOW_LEVEL_FEATURES[self.backbone],
+            norm=self.norm,
+            dtype=self.dtype,
+            name="decoder",
+        )(feat, low, train, domains)
+        size = (x.shape[1], x.shape[2])
+        mask_logits = resize_bilinear_align_corners(x1, size)
+        boundary_logits = resize_bilinear_align_corners(boundary, size)
+        return DeepLabOutputs(
+            mask_logits, boundary_logits, feat, x_bu_feature, x_feature, x1, boundary
+        )

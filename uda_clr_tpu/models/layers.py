@@ -1,0 +1,75 @@
+"""Shared conv building blocks (NHWC, explicit torch-style padding)."""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torch kaiming_normal_ default: gain^2 = 2 (leaky_relu a=0), fan_in, normal.
+kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+# DCGAN-style init used by the reference discriminators (GAN.py:102-107).
+normal_002 = nn.initializers.normal(stddev=0.02)
+
+
+class Conv2d(nn.Module):
+    """NHWC conv with torch-style symmetric integer padding.
+
+    Mirrors ``nn.Conv2d(in, out, k, stride, padding, dilation, groups,
+    bias)`` semantics so reference architectures transcribe 1:1; weights are
+    HWIO (converter from torch OIHW lives in uda_clr_tpu.convert).
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int | Sequence[tuple[int, int]] = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    kernel_init: Any = kaiming_normal
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if isinstance(self.padding, int):
+            pad = [(self.padding, self.padding)] * 2
+        else:
+            pad = list(self.padding)
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=pad,
+            kernel_dilation=(self.dilation, self.dilation),
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+
+
+def fixed_padding(x: jnp.ndarray, kernel_size: int, dilation: int) -> jnp.ndarray:
+    """Pre-pad for 'same' output under stride, as the reference's MobileNetV2
+    does before every inverted-residual block (backbone/mobilenet.py:16-22).
+
+    Note the reference pads the *block input*, so the expansion 1x1 conv and
+    its BN statistics see the padded border; we replicate that exactly.
+    """
+    k_eff = kernel_size + (kernel_size - 1) * (dilation - 1)
+    pad_total = k_eff - 1
+    beg = pad_total // 2
+    end = pad_total - beg
+    return jnp.pad(x, [(0, 0), (beg, end), (beg, end), (0, 0)])
+
+
+def relu6(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.minimum(jnp.maximum(x, 0.0), 6.0)
+
+
+def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, negative_slope * x)

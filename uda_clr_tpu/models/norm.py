@@ -1,0 +1,161 @@
+"""Domain-aware batch normalization for TPU data-parallel training.
+
+Re-implements the two normalization behaviours of the reference:
+
+* ``mode='bn'`` — plain BatchNorm2d (reference wires this when
+  ``sync_bn=True``: networks/deeplabv3.py:17-20). With ``domains=2`` the
+  batch is treated as a source‖target concat and each half is normalized
+  with its own batch statistics, reproducing the reference's *separate*
+  per-domain forwards (train_process/Trainer_prototype_full.py:287-288)
+  in one fused pass; running stats are updated target-then-source to match
+  the reference call order.
+
+* ``mode='tn'`` — TransNorm ("Transferable Normalization", reference
+  networks/sync_batchnorm/batchnorm.py:390-521): per-domain running
+  statistics with shared gamma/beta, plus a detached channel
+  transferability residual ``z * (1 + alpha)`` where
+  ``alpha = C * p / sum(p)``, ``p = 1/(1 + |mu_s/sigma_s - mu_t/sigma_t|)``.
+  Training always splits the batch in half (source first); eval normalizes
+  with the *target* running stats and computes alpha from running stats.
+
+Cross-replica ("sync") BN is not a separate implementation: batches are
+sharded over the ``data`` axis of a `jax.sharding.Mesh`, so the batch-mean /
+batch-variance reductions below become global cross-chip reductions — XLA
+inserts the ``all-reduce`` over ICI automatically under jit/GSPMD. This
+subsumes the reference's dormant thread-pipe SyncMaster scaffolding
+(networks/sync_batchnorm/comm.py) with zero code.
+
+Parity notes (torch semantics reproduced exactly, in fp32):
+  * normalization uses **biased** batch variance; running-var updates use the
+    **unbiased** estimate (factor n/(n-1)), momentum 0.1:
+    ``r_new = (1-m) * r + m * stat``;
+  * TransNorm's alpha distance uses the **unbiased** variance
+    (``torch.var`` default — batchnorm.py:473-482);
+  * alpha is stop-gradiented (``alpha.detach()`` — batchnorm.py:493).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _batch_moments(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, int]:
+    """Mean and biased variance over all axes except the trailing channel."""
+    reduce_axes = tuple(range(x.ndim - 1))
+    n = 1
+    for a in reduce_axes:
+        n *= x.shape[a]
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=reduce_axes)
+    var = jnp.mean(jnp.square(x32), axis=reduce_axes) - jnp.square(mean)
+    return mean, var, n
+
+
+def _normalize(x, mean, var, scale, bias, eps):
+    inv = jax.lax.rsqrt(var + eps)
+    return (x - mean.astype(x.dtype)) * (inv * scale).astype(x.dtype) + bias.astype(x.dtype)
+
+
+class DomainNorm2d(nn.Module):
+    """BatchNorm2d / TransNorm with optional source‖target domain split.
+
+    Input layout: ``[..., H, W, C]`` with the batch as the leading axis.
+    ``domains=2`` interprets the batch as ``[source; target]`` halves.
+    Running statistics live in the ``batch_stats`` collection and are only
+    written when that collection is mutable (so MC-dropout forwards can run
+    in train-mode normalization without perturbing the stats — a deliberate
+    deviation from the reference, which lets its no-grad rectification
+    forwards drift the running stats: Trainer_prototype_full.py:358-368).
+    """
+
+    features: int
+    mode: str = "bn"  # 'bn' | 'tn'
+    eps: float = 1e-5
+    momentum: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool, domains: int = 1) -> jnp.ndarray:
+        f = self.features
+        scale = self.param("scale", nn.initializers.ones, (f,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (f,), jnp.float32)
+
+        if self.mode == "tn":
+            mean_s = self.variable("batch_stats", "mean_source", jnp.zeros, (f,), jnp.float32)
+            var_s = self.variable("batch_stats", "var_source", jnp.ones, (f,), jnp.float32)
+            mean_t = self.variable("batch_stats", "mean_target", jnp.zeros, (f,), jnp.float32)
+            var_t = self.variable("batch_stats", "var_target", jnp.ones, (f,), jnp.float32)
+        else:
+            mean_r = self.variable("batch_stats", "mean", jnp.zeros, (f,), jnp.float32)
+            var_r = self.variable("batch_stats", "var", jnp.ones, (f,), jnp.float32)
+
+        writable = self.is_mutable_collection("batch_stats") and not self.is_initializing()
+        m = self.momentum
+
+        def ema(old, new):
+            return (1.0 - m) * old + m * new
+
+        if self.mode == "tn":
+            if train:
+                # TransNorm always splits the batch in half, source first
+                # (batchnorm.py:439-442), regardless of `domains`.
+                b = x.shape[0] // 2
+                xs, xt = x[:b], x[b:]
+                mu_s, v_s, n = _batch_moments(xs)
+                mu_t, v_t, _ = _batch_moments(xt)
+                zs = _normalize(xs, mu_s, v_s, scale, bias, self.eps)
+                zt = _normalize(xt, mu_t, v_t, scale, bias, self.eps)
+                z = jnp.concatenate([zs, zt], axis=0)
+                unbias = n / max(n - 1, 1)
+                if writable:
+                    mean_s.value = ema(mean_s.value, mu_s)
+                    var_s.value = ema(var_s.value, v_s * unbias)
+                    mean_t.value = ema(mean_t.value, mu_t)
+                    var_t.value = ema(var_t.value, v_t * unbias)
+                # alpha from *unbiased* batch variance (torch.var default).
+                dis = jnp.abs(
+                    mu_s * jax.lax.rsqrt(v_s * unbias + self.eps)
+                    - mu_t * jax.lax.rsqrt(v_t * unbias + self.eps)
+                )
+            else:
+                z = _normalize(x, mean_t.value, var_t.value, scale, bias, self.eps)
+                dis = jnp.abs(
+                    mean_s.value * jax.lax.rsqrt(var_s.value + self.eps)
+                    - mean_t.value * jax.lax.rsqrt(var_t.value + self.eps)
+                )
+            prob = 1.0 / (1.0 + dis)
+            alpha = f * prob / jnp.sum(prob)
+            alpha = jax.lax.stop_gradient(alpha).astype(z.dtype)
+            return z * (1.0 + alpha)
+
+        # --- plain BN ---
+        if not train:
+            return _normalize(x, mean_r.value, var_r.value, scale, bias, self.eps)
+
+        if domains <= 1:
+            mu, v, n = _batch_moments(x)
+            z = _normalize(x, mu, v, scale, bias, self.eps)
+            if writable:
+                unbias = n / max(n - 1, 1)
+                mean_r.value = ema(mean_r.value, mu)
+                var_r.value = ema(var_r.value, v * unbias)
+            return z
+
+        # domains == 2: per-half batch stats (separate-forward semantics),
+        # running stats updated target-then-source like the reference's
+        # sequential T-forward, S-forward call order.
+        b = x.shape[0] // 2
+        xs, xt = x[:b], x[b:]
+        mu_s, v_s, n = _batch_moments(xs)
+        mu_t, v_t, _ = _batch_moments(xt)
+        zs = _normalize(xs, mu_s, v_s, scale, bias, self.eps)
+        zt = _normalize(xt, mu_t, v_t, scale, bias, self.eps)
+        if writable:
+            unbias = n / max(n - 1, 1)
+            mean_r.value = ema(ema(mean_r.value, mu_t), mu_s)
+            var_r.value = ema(ema(var_r.value, v_t * unbias), v_s * unbias)
+        return jnp.concatenate([zs, zt], axis=0)

@@ -1,0 +1,75 @@
+"""Loss primitives matching torch semantics bit-for-bit in fp32.
+
+The reference mixes BCELoss-on-sigmoid for training
+(Trainer_prototype_full.py:18,292) with BCE-with-logits for validation
+(:135) and for the adversarial terms (:456-457); we preserve that asymmetry
+deliberately (it changes gradient clamping behaviour).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def bce_probs(probs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """torch.nn.BCELoss(mean): ``-[t log p + (1-t) log(1-p)]`` with log
+    clamped at -100 (torch's documented behaviour)."""
+    log_p = jnp.maximum(jnp.log(probs), -100.0)
+    log_1p = jnp.maximum(jnp.log1p(-probs), -100.0)
+    return -jnp.mean(targets * log_p + (1.0 - targets) * log_1p)
+
+
+def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """torch.nn.functional.binary_cross_entropy_with_logits (mean),
+    numerically stable: ``max(x,0) - x t + log(1+exp(-|x|))``."""
+    return jnp.mean(
+        jnp.maximum(logits, 0.0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+
+
+def bce_with_logits_elementwise(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    return jnp.maximum(logits, 0.0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def bce_probs_elementwise(probs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    log_p = jnp.maximum(jnp.log(probs), -100.0)
+    log_1p = jnp.maximum(jnp.log1p(-probs), -100.0)
+    return -(targets * log_p + (1.0 - targets) * log_1p)
+
+
+def mse(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.square(pred - target))
+
+
+def entropy_map(mask_logits: jnp.ndarray, smooth: float = 1e-7) -> jnp.ndarray:
+    """Per-pixel prediction-entropy map ``-p * log(p + eps)`` fed to the
+    uncertainty discriminator (Trainer_prototype_full.py:452)."""
+    p = jax.nn.sigmoid(mask_logits)
+    return -1.0 * p * jnp.log(p + smooth)
+
+
+def dice_loss(probs: jnp.ndarray, targets: jnp.ndarray, smooth: float = 1.0) -> jnp.ndarray:
+    """Differentiable soft-Dice loss (utils/metrics.py:135-148)."""
+    p = probs.reshape(-1)
+    t = targets.reshape(-1)
+    inter = jnp.sum(p * t)
+    return 1.0 - (2.0 * inter + smooth) / (jnp.sum(p) + jnp.sum(t) + smooth)
+
+
+def adversarial_generator_loss(d_boundary_out, d_uncertainty_out, weight: float = 0.01):
+    """Generator's adversarial term: push target outputs toward the source
+    label (1) through both discriminators, weighted 0.01
+    (Trainer_prototype_full.py:452-458)."""
+    ones_b = jnp.ones_like(d_boundary_out)
+    ones_u = jnp.ones_like(d_uncertainty_out)
+    return weight * (
+        bce_with_logits(d_uncertainty_out, ones_u) + bce_with_logits(d_boundary_out, ones_b)
+    )
+
+
+def discriminator_loss(d_out, is_source: bool) -> jnp.ndarray:
+    """PatchGAN discriminator BCE toward domain label 1 (source) / 0
+    (target) (Trainer_prototype_full.py:485-508)."""
+    label = jnp.full_like(d_out, 1.0 if is_source else 0.0)
+    return bce_with_logits(d_out, label)

@@ -1,0 +1,217 @@
+"""Class-prototype (centroid) math for category-level regularization.
+
+Re-implements reference utils/Utils.py:86-311 in NHWC jnp. All centroid
+reductions are sums over (batch, H, W); under a data-sharded mesh XLA turns
+them into cross-replica reductions over ICI automatically, so the global
+EMA prototype bank sees the *full* per-step batch on every chip — the
+multi-chip generalization of the reference's single-GPU semantics.
+
+Conventions:
+  * ``pred``: soft or hard masks [B, h, w, 2] with channel 0 = cup,
+    channel 1 = disc;
+  * ``feature``: [B, h, w, C] (C=305 decoder feature);
+  * centroids are returned as a dict with keys
+    ``cup_obj, disc_obj, cup_bck, disc_bck`` -> [C] vectors.
+
+The reference divides by the mask mass unguarded (Utils.py:127-130), which
+NaNs if a class is absent from the whole batch; we guard with +eps and
+document the deviation (the reference only survives because fundus crops
+always contain both structures).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from uda_clr_tpu.ops.resize import resize_bilinear_align_corners
+
+_EPS = 1e-12
+
+
+class Prototypes(NamedTuple):
+    cup_obj: jnp.ndarray
+    disc_obj: jnp.ndarray
+    cup_bck: jnp.ndarray
+    disc_bck: jnp.ndarray
+
+    def stack(self) -> jnp.ndarray:
+        return jnp.stack([self.cup_obj, self.disc_obj, self.cup_bck, self.disc_bck])
+
+    @staticmethod
+    def unstack(x: jnp.ndarray) -> "Prototypes":
+        return Prototypes(x[0], x[1], x[2], x[3])
+
+
+def _masked_centroid(feature, mask, weight=None):
+    """sum(feature * mask * weight) / sum(mask * weight) over (B,H,W)."""
+    w = mask if weight is None else mask * weight
+    num = jnp.sum(feature * w, axis=(0, 1, 2))
+    den = jnp.sum(w, axis=(0, 1, 2))
+    return num / (den + _EPS)
+
+
+def gen_prototype(pred: jnp.ndarray, feature: jnp.ndarray) -> Prototypes:
+    """Soft-mask global class centroids (Utils.py:108-131)."""
+    cup = pred[..., 0:1]
+    disc = pred[..., 1:2]
+    return Prototypes(
+        cup_obj=_masked_centroid(feature, cup),
+        disc_obj=_masked_centroid(feature, disc),
+        cup_bck=_masked_centroid(feature, 1.0 - cup),
+        disc_bck=_masked_centroid(feature, 1.0 - disc),
+    )
+
+
+def gen_prototype_src_trg(pred_s, feat_s, pred_t, feat_t) -> Prototypes:
+    """Joint source+target centroids (Utils.py:132-158)."""
+    pred = jnp.concatenate([pred_s, pred_t], axis=0)
+    feat = jnp.concatenate([feat_s, feat_t], axis=0)
+    return gen_prototype(pred, feat)
+
+
+class RectifiedPrototypes(NamedTuple):
+    prototypes: Prototypes
+    std_map: jnp.ndarray  # [B, H, W, 2] MC-dropout uncertainty (full res)
+    conf_mask: jnp.ndarray  # [B, h, w, 2] std<thr confidence mask (feat res)
+
+
+def gen_prototype_retrify(
+    mask_before: jnp.ndarray,  # [B, h, w, 2] target mask logits (feature res)
+    feature: jnp.ndarray,  # [B, h, w, C]
+    mc_logits: jnp.ndarray,  # [T, B, H, W, 2] MC-dropout mask logits (full res)
+    pseudo_threshold: float = 0.75,
+    std_threshold: float = 0.04,
+) -> RectifiedPrototypes:
+    """MC-dropout-rectified target centroids (Utils.py:159-225).
+
+    Matches the reference numerics: std over T of temperature-softened
+    ``sigmoid(logits / 2)`` with the **unbiased** estimator (torch.std
+    default), mean prediction from plain sigmoid, both bilinearly
+    (align-corners) resized to the feature grid; pseudo-labels hard
+    thresholded at ``> 0.75`` on ``sigmoid(mask_before)``; confidence mask
+    ``std < 0.04``; centroids weighted by both the confidence mask and the
+    mean MC probability (object) / 1-probability (background).
+    """
+    h, w = feature.shape[1], feature.shape[2]
+    preds_soft = jax.nn.sigmoid(mc_logits / 2.0)
+    if mc_logits.shape[0] > 1:
+        std_map = jnp.std(preds_soft, axis=0, ddof=1)
+    else:
+        std_map = jnp.zeros_like(preds_soft[0])
+    prediction = jnp.mean(jax.nn.sigmoid(mc_logits), axis=0)
+    prediction_small = resize_bilinear_align_corners(prediction, (h, w))
+    std_small = resize_bilinear_align_corners(std_map, (h, w))
+
+    pseudo = (jax.nn.sigmoid(mask_before) > pseudo_threshold).astype(feature.dtype)
+    conf = (std_small < std_threshold).astype(feature.dtype)
+
+    cup_obj_m = pseudo[..., 0:1] * conf[..., 0:1]
+    disc_obj_m = pseudo[..., 1:2] * conf[..., 1:2]
+    cup_bck_m = (1.0 - pseudo[..., 0:1]) * conf[..., 0:1]
+    disc_bck_m = (1.0 - pseudo[..., 1:2]) * conf[..., 1:2]
+
+    protos = Prototypes(
+        cup_obj=_masked_centroid(feature, cup_obj_m, prediction_small[..., 0:1]),
+        disc_obj=_masked_centroid(feature, disc_obj_m, prediction_small[..., 1:2]),
+        cup_bck=_masked_centroid(feature, cup_bck_m, 1.0 - prediction_small[..., 0:1]),
+        disc_bck=_masked_centroid(feature, disc_bck_m, 1.0 - prediction_small[..., 1:2]),
+    )
+    return RectifiedPrototypes(protos, std_map, conf)
+
+
+def ema_update(bank: Prototypes, current: Prototypes, decay: float) -> Prototypes:
+    """EMA prototype-bank update, ``new = (1-decay)*bank + decay*current``
+    (Trainer_prototype_full.py:100-109,347-351 — note the reference's
+    ``global_pro_weight`` weights the *current* batch)."""
+    return Prototypes(
+        *(
+            (1.0 - decay) * b + decay * jax.lax.stop_gradient(c)
+            for b, c in zip(bank, current)
+        )
+    )
+
+
+def intra_domain_loss(src: Prototypes, trg: Prototypes) -> jnp.ndarray:
+    """Inter-domain alignment ("intra") loss: 4x MSE between matching
+    source/target centroids (Trainer_prototype_full.py:428-441)."""
+    return (
+        jnp.mean(jnp.square(src.cup_obj - trg.cup_obj))
+        + jnp.mean(jnp.square(src.disc_obj - trg.disc_obj))
+        + jnp.mean(jnp.square(src.cup_bck - trg.cup_bck))
+        + jnp.mean(jnp.square(src.disc_bck - trg.disc_bck))
+    )
+
+
+def inter_domain_loss(src: Prototypes) -> jnp.ndarray:
+    """Source obj-vs-bck separation, computed-and-logged-only in the
+    reference (Trainer_prototype_full.py:443-449,465)."""
+    return jnp.mean(jnp.square(src.disc_obj - src.disc_bck)) + jnp.mean(
+        jnp.square(src.cup_obj - src.cup_bck)
+    )
+
+
+def source_discriminative_loss(
+    feature: jnp.ndarray,  # [B, h, w, C] source features
+    pred: jnp.ndarray,  # [B, h, w, 2] soft GT masks at feature res
+    bank: Prototypes,
+) -> jnp.ndarray:
+    """Prototype-guided discriminative regularization on source.
+
+    Reconstruction of the bytecode-only ``loss_src_reg`` of
+    Trainer_prototype_mt (symbols: xs_feature_norm,
+    sourcecentroid_*_norm, loss_{0,1}_{obj,bck}, F.normalize, relu, pow,
+    mean): features and centroids are L2-normalized along channels; pixels
+    of each region are pushed to be closer (cosine) to their own centroid
+    than to the opposite region's centroid via a hinge
+    ``relu(sim_other - sim_own)``, weighted by the region mask.
+    """
+    f = feature / (jnp.linalg.norm(feature, axis=-1, keepdims=True) + _EPS)
+
+    def unit(v):
+        return v / (jnp.linalg.norm(v) + _EPS)
+
+    def hinge(own, other, mask):
+        sim_own = jnp.einsum("bhwc,c->bhw", f, unit(own))
+        sim_other = jnp.einsum("bhwc,c->bhw", f, unit(other))
+        viol = jax.nn.relu(sim_other - sim_own)
+        m = mask[..., 0]
+        return jnp.sum(jnp.square(viol) * m) / (jnp.sum(m) + _EPS)
+
+    cup = pred[..., 0:1]
+    disc = pred[..., 1:2]
+    loss_0_obj = hinge(bank.cup_obj, bank.cup_bck, cup)
+    loss_0_bck = hinge(bank.cup_bck, bank.cup_obj, 1.0 - cup)
+    loss_1_obj = hinge(bank.disc_obj, bank.disc_bck, disc)
+    loss_1_bck = hinge(bank.disc_bck, bank.disc_obj, 1.0 - disc)
+    return loss_0_obj + loss_0_bck + loss_1_obj + loss_1_bck
+
+
+def adaptation_factor(m) -> jnp.ndarray:
+    """Epoch-ramped pseudo-label threshold (Utils.py:104-107):
+    ``1/(1+exp(-0.8(m+1))) - 0.3``."""
+    return 1.0 / (1.0 + jnp.exp(-0.8 * (m + 1.0))) - 0.3
+
+
+def cosine_prototype_weight(feature: jnp.ndarray, prototype: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel cosine similarity to a prototype (Utils.py:86-103),
+    [B,h,w,C] x [C] -> [B,h,w,1]."""
+    fn = feature / (jnp.linalg.norm(feature, axis=-1, keepdims=True) + 1e-8)
+    pn = prototype / (jnp.linalg.norm(prototype) + 1e-8)
+    return jnp.einsum("bhwc,c->bhw", fn, pn)[..., None]
+
+
+def feat_prototype_distance(feature: jnp.ndarray, prototype: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel L2 distance map to a prototype
+    (Trainer_prototype.py:98-104), [B,h,w,C] x [C] -> [B,h,w,1]."""
+    d = jnp.linalg.norm(feature - prototype[None, None, None, :], axis=-1)
+    return d[..., None]
+
+
+def minmax_prototype_weight(dist: jnp.ndarray) -> jnp.ndarray:
+    """Min-max normalized distance weight (Trainer_prototype.py:106-116)."""
+    lo = jnp.min(dist)
+    hi = jnp.max(dist)
+    return (dist - lo) / (hi - lo + _EPS)

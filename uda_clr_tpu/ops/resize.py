@@ -1,0 +1,92 @@
+"""Align-corners bilinear resize as MXU-friendly matmuls.
+
+The reference model leans on ``F.interpolate(..., mode='bilinear',
+align_corners=True)`` in four places (reference: networks/deeplabv3.py:39-40,
+networks/decoder.py:50, networks/aspp.py:71, utils/Utils.py:170-171).
+``jax.image.resize`` implements the half-pixel (align_corners=False)
+convention, so we build the align-corners operator directly.
+
+TPU-first design: a separable align-corners bilinear resize along H and W is a
+pair of small dense matmuls ``y = A_h @ x @ A_w^T`` with interpolation
+matrices that have at most two non-zeros per row. For the static shapes used
+here (32->128, 128->512, 1->32) the matrices are compile-time constants, XLA
+lowers the contractions onto the MXU, and the op fuses with neighbouring
+elementwise work — no gather/scatter, no dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=64)
+def _align_corners_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Dense [out_size, in_size] interpolation matrix, align_corners=True.
+
+    Row i holds the linear-interpolation weights of output sample i against
+    the input grid: src = i * (in-1)/(out-1); w = src - floor(src).
+    """
+    mat = np.zeros((out_size, in_size), dtype=np.float32)
+    if in_size == 1:
+        mat[:, 0] = 1.0
+        return mat
+    if out_size == 1:
+        # align_corners maps the single output to input coordinate 0
+        mat[0, 0] = 1.0
+        return mat
+    scale = (in_size - 1) / (out_size - 1)
+    src = np.arange(out_size, dtype=np.float64) * scale
+    lo = np.floor(src).astype(np.int64)
+    lo = np.clip(lo, 0, in_size - 1)
+    hi = np.minimum(lo + 1, in_size - 1)
+    w = (src - lo).astype(np.float32)
+    rows = np.arange(out_size)
+    mat[rows, lo] += 1.0 - w
+    mat[rows, hi] += w
+    return mat
+
+
+def resize_bilinear_align_corners(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Bilinear align_corners=True resize of NHWC (or ...HWC) tensors.
+
+    Matches ``torch.nn.functional.interpolate(mode='bilinear',
+    align_corners=True)`` bit-for-bit in fp32 (up to matmul accumulation
+    order). Spatial axes are assumed to be the two axes before the trailing
+    channel axis.
+    """
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    h_out, w_out = out_hw
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    dtype = x.dtype
+    ah = jnp.asarray(_align_corners_matrix(h_in, h_out), dtype=dtype)
+    aw = jnp.asarray(_align_corners_matrix(w_in, w_out), dtype=dtype)
+    # contract H: [..., h_in, w, c] -> [..., h_out, w, c]. precision=highest
+    # keeps fp32 inputs exactly torch-parity on TPU (no bf16 MXU rounding);
+    # bf16 inputs still take the fast path.
+    x = jnp.einsum("Hh,...hwc->...Hwc", ah, x, precision=jax.lax.Precision.HIGHEST)
+    # contract W: [..., h, w_in, c] -> [..., h, w_out, c]
+    x = jnp.einsum("Ww,...hwc->...hWc", aw, x, precision=jax.lax.Precision.HIGHEST)
+    return x
+
+
+def resize_nearest(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Nearest-neighbour resize of ...HWC tensors.
+
+    Matches ``F.interpolate(mode='nearest')`` (floor of src = i * in/out),
+    used by the reference to downsample GT maps onto the 128x128 feature grid
+    (reference: train_process/Trainer_prototype_full.py:330-331).
+    """
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    h_out, w_out = out_hw
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    rows = (np.arange(h_out) * h_in // h_out).astype(np.int32)
+    cols = (np.arange(w_out) * w_in // w_out).astype(np.int32)
+    x = jnp.take(x, jnp.asarray(rows), axis=-3)
+    x = jnp.take(x, jnp.asarray(cols), axis=-2)
+    return x

@@ -1,0 +1,352 @@
+"""Fused jitted train/eval steps — the reference's per-iteration
+choreography (zero_grad x3, param freeze/unfreeze, 10 forwards, 3
+backwards, dozens of .item() syncs — Trainer_prototype_full.py:248-592)
+collapsed into ONE XLA program per method.
+
+Design:
+  * one generator forward on the source‖target concat feeds the G loss,
+    both D losses (via stop_gradient, replacing .detach()), and the
+    prototype pooling;
+  * three gradient computations share that forward; G grads flow through
+    the frozen discriminators (their params are simply not differentiated,
+    replacing requires_grad toggling);
+  * MC-dropout pseudo-label rectification is a vmap over T/2 dropout keys
+    of the 2x-repeated target batch (reference loops 4 sequential CUDA
+    forwards, :358-368) — one batched XLA computation, stop-gradiented;
+  * update order G -> D preserved: D gradients are computed from the
+    pre-update generator outputs (identical values, since detached);
+  * all scalars are returned as a metrics dict, fetched asynchronously by
+    the trainer — no host syncs inside the step.
+
+Static method switches (proto phase, retrify, ...) select between a small
+number of compiled programs; everything per-step (lr, epoch scalars) is a
+traced input, so no retraces during training.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from uda_clr_tpu.config import Config
+from uda_clr_tpu.models.deeplab import DeepLab, DeepLabOutputs
+from uda_clr_tpu.models.gan import BoundaryDiscriminator, UncertaintyDiscriminator
+from uda_clr_tpu.ops import losses as L
+from uda_clr_tpu.ops import prototypes as P
+from uda_clr_tpu.ops.augment import strong_augment
+from uda_clr_tpu.ops.resize import resize_nearest
+from uda_clr_tpu.train import optim as optim_lib
+from uda_clr_tpu.train.state import TrainState
+
+_DIS = BoundaryDiscriminator()
+_DIS2 = UncertaintyDiscriminator()
+
+
+def _split(outs: DeepLabOutputs, b: int):
+    """Split a concat [S;T] forward into per-domain output tuples."""
+    src = DeepLabOutputs(*(o[:b] for o in outs))
+    trg = DeepLabOutputs(*(o[b:] for o in outs))
+    return src, trg
+
+
+def _gen_apply(model, params, stats, x, rng, train, domains, mutable):
+    variables = {"params": params, "batch_stats": stats}
+    if mutable:
+        return model.apply(
+            variables, x, train=train, domains=domains,
+            mutable=["batch_stats"], rngs={"dropout": rng},
+        )
+    out = model.apply(variables, x, train=train, domains=domains, rngs={"dropout": rng})
+    return out, {"batch_stats": stats}
+
+
+def _mc_dropout_forward(model, params, stats, imageT, rng, t_samples: int):
+    """T MC-dropout mask-logit samples of the target batch.
+
+    Mirrors Trainer_prototype_full.py:358-368: T/2 train-mode forwards of
+    the 2x-repeated batch (elementwise dropout gives 2 independent samples
+    per forward; BN normalizes with the repeated-batch statistics, which
+    equal the plain batch statistics). vmapped over dropout keys; outputs
+    stop-gradiented (reference runs under no_grad); running stats are NOT
+    drifted (deliberate fix — the reference lets these forwards perturb
+    its running stats).
+    """
+    b = imageT.shape[0]
+    lanes = max(t_samples // 2, 1)
+    x_rep = jnp.concatenate([imageT, imageT], axis=0)
+    keys = jax.random.split(rng, lanes)
+
+    def one(k):
+        outs, _ = _gen_apply(model, params, stats, x_rep, k, True, 1, mutable=False)
+        return outs.mask_logits  # [2B, H, W, 2]
+
+    mc = jax.vmap(one)(keys)  # [lanes, 2B, H, W, 2]
+    mc = mc.reshape(lanes * 2, b, *mc.shape[2:])
+    return jax.lax.stop_gradient(mc[:t_samples])
+
+
+def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool = False):
+    """Build the jitted train step for a method.
+
+    batch keys: image_s, map_s, boundary_s, image_t (all NHWC fp32).
+    Scalar inputs: lr_gen, lr_dis, epoch (traced — no retraces across
+    epochs).
+    """
+    mcfg = cfg.method
+    tx_gen = optim_lib.adam_direction(cfg.optim.adam_b1, cfg.optim.adam_b2)
+    tx_dis = optim_lib.sgd_direction(cfg.optim.sgd_momentum, cfg.optim.weight_decay)
+    compute_dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+
+    use_adv = method != "baseline"
+    use_proto_full = method in ("prototype_full", "prototype_mt") and proto_phase
+    use_mt_losses = method == "prototype_mt" and proto_phase
+    use_teacher = method == "mean_teacher"
+
+    def step(state: TrainState, batch: dict, lr_gen, lr_dis, epoch):
+        rng, k_fwd, k_mc, k_aug, k_augfwd, k_teacher = jax.random.split(state.rng, 6)
+        image_s = batch["image_s"].astype(compute_dtype)
+        map_s = batch["map_s"]
+        boundary_s = batch["boundary_s"]
+        b = image_s.shape[0]
+        metrics = {}
+
+        if use_adv:
+            image_t = batch["image_t"].astype(compute_dtype)
+            x_all = jnp.concatenate([image_s, image_t], axis=0)
+        else:
+            x_all = image_s
+
+        # ---- MC-dropout rectification (no-grad), done once per step ----
+        mc_logits = None
+        if use_proto_full and mcfg.retrify_pseudo:
+            mc_logits = _mc_dropout_forward(
+                model, state.gen_params, state.gen_stats, image_t, k_mc, mcfg.mc_samples
+            ).astype(jnp.float32)
+
+        # ---- teacher forward (mean teacher) ----
+        teacher_out = None
+        if use_teacher:
+            t_outs, _ = _gen_apply(
+                model, state.teacher_params, state.teacher_stats, image_t,
+                k_teacher, False, 1, mutable=False,
+            )
+            teacher_out = jax.lax.stop_gradient(t_outs)
+
+        # ---- generator loss (one fused forward) ----
+        def gen_loss_fn(gen_params):
+            outs, upd = _gen_apply(
+                model, gen_params, state.gen_stats, x_all, k_fwd, True,
+                2 if use_adv else 1, mutable=True,
+            )
+            aux = {"stats": upd["batch_stats"]}
+            if use_adv:
+                out_s, out_t = _split(outs, b)
+            else:
+                out_s, out_t = outs, None
+
+            o_s = out_s.mask_logits.astype(jnp.float32)
+            b_s = out_s.boundary_logits.astype(jnp.float32)
+            loss_seg = L.bce_probs(jax.nn.sigmoid(o_s), map_s) + L.mse(
+                jax.nn.sigmoid(b_s), boundary_s
+            )
+            loss = loss_seg
+            m = {"loss_seg": loss_seg}
+
+            if use_adv:
+                o_t = out_t.mask_logits.astype(jnp.float32)
+                bd_t = out_t.boundary_logits.astype(jnp.float32)
+                d_b = _DIS.apply({"params": state.dis_params}, jax.nn.sigmoid(bd_t))
+                d_u = _DIS2.apply({"params": state.dis2_params}, L.entropy_map(o_t))
+                loss_adv = L.adversarial_generator_loss(d_b, d_u, mcfg.adv_weight)
+                loss = loss + loss_adv
+                m["loss_adv"] = loss_adv
+                aux["out_t"] = jax.tree.map(jax.lax.stop_gradient, out_t)
+
+            if use_proto_full:
+                feat_hw = (out_s.x_feature.shape[1], out_s.x_feature.shape[2])
+                pred_s = resize_nearest(map_s, feat_hw)
+                cur_src = P.gen_prototype(pred_s, out_s.x_feature.astype(jnp.float32))
+                if mcfg.use_global:
+                    bank_src = P.Prototypes.unstack(state.proto_src)
+                    d = mcfg.global_pro_weight
+                    src = jax.tree.map(
+                        lambda bk, cu: jnp.where(
+                            state.proto_src_init, (1 - d) * bk + d * cu, cu
+                        ),
+                        bank_src, cur_src,
+                    )
+                else:
+                    src = cur_src
+
+                if mcfg.retrify_pseudo:
+                    rect = P.gen_prototype_retrify(
+                        out_t.mask_before.astype(jnp.float32),
+                        out_t.x_feature.astype(jnp.float32),
+                        mc_logits,
+                        mcfg.pseudo_threshold,
+                        mcfg.std_threshold,
+                    )
+                    cur_trg = rect.prototypes
+                else:
+                    cur_trg = P.gen_prototype(
+                        jax.nn.sigmoid(out_t.mask_before.astype(jnp.float32)),
+                        out_t.x_feature.astype(jnp.float32),
+                    )
+                if mcfg.use_global:
+                    bank_trg = P.Prototypes.unstack(state.proto_trg)
+                    d = mcfg.global_pro_weight
+                    trg = jax.tree.map(
+                        lambda bk, cu: jnp.where(
+                            state.proto_trg_init, (1 - d) * bk + d * cu, cu
+                        ),
+                        bank_trg, cur_trg,
+                    )
+                else:
+                    trg = cur_trg
+
+                intra = P.intra_domain_loss(src, trg)
+                inter = P.inter_domain_loss(src)  # logged only (reference :443-465)
+                loss = loss + mcfg.pro_weight * intra
+                m["loss_intra"] = intra
+                m["loss_inter"] = inter
+                aux["new_src"] = jax.lax.stop_gradient(src.stack())
+                aux["new_trg"] = jax.lax.stop_gradient(trg.stack())
+
+                if use_mt_losses and mcfg.src_reg:
+                    src_reg = P.source_discriminative_loss(
+                        out_s.x_feature.astype(jnp.float32), pred_s,
+                        jax.tree.map(jax.lax.stop_gradient, src),
+                    )
+                    loss = loss + mcfg.src_reg_weight * src_reg
+                    m["loss_src_reg"] = src_reg
+
+            if use_mt_losses and mcfg.use_trg_cons:
+                # augmented-consistency on target (bytecode-only
+                # Trainer_prototype_mt; rebuilt from utils/Utils.py:33-85
+                # helpers + paper semantics). Color-space strong aug runs
+                # ON DEVICE inside the step (vs the reference's host
+                # albumentations round-trip).
+                p_plain = jax.nn.sigmoid(jax.lax.stop_gradient(out_t.mask_logits.astype(jnp.float32)))
+                pseudo = (p_plain > mcfg.pseudo_threshold).astype(jnp.float32)
+                conf = jnp.logical_or(
+                    p_plain > mcfg.pseudo_threshold, p_plain < 1.0 - mcfg.pseudo_threshold
+                ).astype(jnp.float32)
+                x_aug = strong_augment(k_aug, image_t.astype(jnp.float32)).astype(compute_dtype)
+                outs_aug, _ = _gen_apply(
+                    model, gen_params, state.gen_stats, x_aug, k_augfwd, True, 1, mutable=False
+                )
+                o_aug = outs_aug.mask_logits.astype(jnp.float32)
+                per_px = L.bce_probs_elementwise(jax.nn.sigmoid(o_aug), pseudo)
+                loss_aug = jnp.sum(per_px * conf) / (jnp.sum(conf) + 1e-7)
+                loss = loss + mcfg.aug_weight * loss_aug
+                m["loss_aug"] = loss_aug
+
+            if use_teacher:
+                w = batch.get("consistency_weight", jnp.asarray(mcfg.consistency))
+                cons = L.mse(
+                    jax.nn.sigmoid(out_t.mask_logits.astype(jnp.float32)),
+                    jax.nn.sigmoid(teacher_out.mask_logits.astype(jnp.float32)),
+                ) + L.mse(
+                    jax.nn.sigmoid(out_t.boundary_logits.astype(jnp.float32)),
+                    jax.nn.sigmoid(teacher_out.boundary_logits.astype(jnp.float32)),
+                )
+                loss = loss + w * cons
+                m["loss_consistency"] = cons
+
+            aux["metrics"] = m
+            aux["out_s"] = jax.tree.map(jax.lax.stop_gradient, out_s)
+            return loss, aux
+
+        (loss_all, aux), gen_grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
+            state.gen_params
+        )
+        metrics.update(aux["metrics"])
+        metrics["loss_all"] = loss_all
+
+        # ---- generator update (Adam, torch semantics) ----
+        gen_updates, gen_opt = tx_gen.update(gen_grads, state.gen_opt, state.gen_params)
+        gen_params = optim_lib.apply_updates(state.gen_params, gen_updates, lr_gen)
+
+        dis_params, dis2_params = state.dis_params, state.dis2_params
+        dis_opt, dis2_opt = state.dis_opt, state.dis2_opt
+        if use_adv:
+            out_s, out_t = aux["out_s"], aux["out_t"]
+            sig_bs = jax.nn.sigmoid(out_s.boundary_logits.astype(jnp.float32))
+            sig_bt = jax.nn.sigmoid(out_t.boundary_logits.astype(jnp.float32))
+            ent_s = L.entropy_map(out_s.mask_logits.astype(jnp.float32))
+            ent_t = L.entropy_map(out_t.mask_logits.astype(jnp.float32))
+
+            def dis_loss_fn(p):
+                return L.discriminator_loss(
+                    _DIS.apply({"params": p}, sig_bs), True
+                ) + L.discriminator_loss(_DIS.apply({"params": p}, sig_bt), False)
+
+            def dis2_loss_fn(p):
+                return L.discriminator_loss(
+                    _DIS2.apply({"params": p}, ent_s), True
+                ) + L.discriminator_loss(_DIS2.apply({"params": p}, ent_t), False)
+
+            loss_d, dis_grads = jax.value_and_grad(dis_loss_fn)(state.dis_params)
+            loss_d2, dis2_grads = jax.value_and_grad(dis2_loss_fn)(state.dis2_params)
+            dis_updates, dis_opt = tx_dis.update(dis_grads, state.dis_opt, state.dis_params)
+            dis_params = optim_lib.apply_updates(state.dis_params, dis_updates, lr_dis)
+            dis2_updates, dis2_opt = tx_dis.update(dis2_grads, state.dis2_opt, state.dis2_params)
+            dis2_params = optim_lib.apply_updates(state.dis2_params, dis2_updates, lr_dis)
+            metrics["loss_D"] = loss_d
+            metrics["loss_D2"] = loss_d2
+
+        # ---- prototype bank EMA commit ----
+        proto_src, proto_trg = state.proto_src, state.proto_trg
+        proto_src_init, proto_trg_init = state.proto_src_init, state.proto_trg_init
+        if use_proto_full:
+            proto_src = aux["new_src"]
+            proto_trg = aux["new_trg"]
+            proto_src_init = jnp.ones((), bool)
+            proto_trg_init = jnp.ones((), bool)
+
+        # ---- teacher EMA (after student step, Trainer_MT semantics) ----
+        teacher_params, teacher_stats = state.teacher_params, state.teacher_stats
+        if use_teacher:
+            a = mcfg.ema_decay
+            teacher_params = jax.tree.map(
+                lambda t, s: a * t + (1 - a) * s, state.teacher_params, gen_params
+            )
+            teacher_stats = aux["stats"]
+
+        new_state = state.replace(
+            step=state.step + 1,
+            rng=rng,
+            gen_params=gen_params,
+            gen_stats=aux["stats"],
+            dis_params=dis_params,
+            dis2_params=dis2_params,
+            gen_opt=gen_opt,
+            dis_opt=dis_opt,
+            dis2_opt=dis2_opt,
+            proto_src=proto_src,
+            proto_trg=proto_trg,
+            proto_src_init=proto_src_init,
+            proto_trg_init=proto_trg_init,
+            teacher_params=teacher_params,
+            teacher_stats=teacher_stats,
+        )
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=0)
+
+
+def make_eval_step(model: DeepLab, compute_dtype=jnp.float32):
+    """Eval forward + on-device BCE-with-logits val loss
+    (Trainer_prototype_full.py:133-135); metric binarization stays
+    host-side for bit-parity with the reference's numpy pipeline."""
+
+    def step(variables, image, map_t):
+        outs = model.apply(variables, image.astype(compute_dtype), train=False)
+        logits = outs.mask_logits.astype(jnp.float32)
+        loss = L.bce_with_logits(logits, map_t)
+        return logits, outs.boundary_logits.astype(jnp.float32), loss
+
+    return jax.jit(step)
