@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Train-throughput benchmark on real TPU hardware.
+
+Measures images/sec/chip of the FULL flagship method (prototype_full: fused
+source‖target forward, T=8 MC-dropout rectification, prototype EMA +
+adversarial G and dual-D updates) at the reference's production config —
+512x512, batch 8 (train_use_fix_initial.py:42-48) — in bfloat16 compute.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput numbers
+(BASELINE.md — "published": {}). We baseline against an ESTIMATED
+A100 throughput of the PyTorch reference's full method of 20 images/sec
+(per-iteration work = 2 grad forwards + 4 no-grad forwards at 2x batch + 2
+PatchGAN D passes + 3 backwards at batch 8 / 512^2; mobilenet DeepLabv3+
+forward ~25ms at this size on A100 => ~0.4s/iter => ~20 img/s). The
+BASELINE.json north-star target is 3x that (60 img/s/chip);
+vs_baseline reported here is measured / 20 (i.e. >3.0 meets the target).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_REFERENCE_IMG_PER_SEC = 20.0  # documented estimate, see module docstring
+
+
+def main():
+    from uda_clr_tpu.config import Config
+    from uda_clr_tpu.models.deeplab import DeepLab
+    from uda_clr_tpu.parallel.mesh import batch_sharding, get_mesh, replicated_sharding
+    from uda_clr_tpu.train.state import create_train_state
+    from uda_clr_tpu.train.steps import make_train_step
+
+    size, batch = 512, 8
+    cfg = Config()
+    cfg.model.compute_dtype = "bfloat16"
+    cfg.method.method = "prototype_full"
+    cfg.method.mc_samples = 8  # reference T=8
+
+    n_dev = len(jax.devices())
+    n_data = n_dev
+    while batch % n_data:
+        n_data -= 1
+    mesh = get_mesh((n_data,))
+    model = DeepLab(
+        num_classes=2, backbone="mobilenet", output_stride=16, norm="bn",
+        dtype=jnp.bfloat16,
+    )
+    state = create_train_state(model, jax.random.PRNGKey(0), (batch, size, size, 3))
+    state = jax.device_put(state, replicated_sharding(mesh))
+
+    rng = np.random.default_rng(0)
+    sh = batch_sharding(mesh)
+    data = {
+        "image_s": jax.device_put(
+            rng.standard_normal((batch, size, size, 3)).astype(np.float32), sh
+        ),
+        "map_s": jax.device_put(
+            (rng.uniform(0, 1, (batch, size, size, 2)) > 0.5).astype(np.float32), sh
+        ),
+        "boundary_s": jax.device_put(
+            rng.uniform(0, 1, (batch, size, size, 1)).astype(np.float32), sh
+        ),
+        "image_t": jax.device_put(
+            rng.standard_normal((batch, size, size, 3)).astype(np.float32), sh
+        ),
+    }
+
+    step = make_train_step(model, cfg, "prototype_full", proto_phase=True)
+
+    # compile + warmup
+    t0 = time.time()
+    state, metrics = step(state, data, 1e-3, 2.5e-5, 30)
+    jax.block_until_ready(metrics)
+    compile_s = time.time() - t0
+    for _ in range(2):
+        state, metrics = step(state, data, 1e-3, 2.5e-5, 30)
+    jax.block_until_ready(metrics)
+
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        state, metrics = step(state, data, 1e-3, 2.5e-5, 30)
+    jax.block_until_ready(metrics)
+    dt = time.time() - t0
+
+    ips = iters * batch / dt
+    ips_per_chip = ips / n_data
+    result = {
+        "metric": "prototype_full train throughput (512x512, B8, T=8 MC, bf16)",
+        "value": round(ips_per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips_per_chip / A100_REFERENCE_IMG_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# devices={n_dev} mesh_data={n_data} compile={compile_s:.1f}s "
+        f"step={dt / iters * 1000:.1f}ms loss={float(metrics['loss_all']):.4f}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

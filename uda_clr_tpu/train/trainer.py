@@ -1,0 +1,286 @@
+"""Training orchestration — the reference's Trainer classes
+(train_process/Trainer*.py) rebuilt around one jitted step per method.
+
+Per-iteration work on the host is reduced to: pull two host batches,
+device_put them sharded, call the compiled step, stash the (device)
+metrics. Scalars are fetched once per epoch (the reference syncs dozens of
+.item()s per iteration), CSV/tensorboard writes happen at epoch
+granularity with per-iteration rows preserved, and the NaN guard
+(reference :298-299 etc.) runs on the fetched batch of scalars.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uda_clr_tpu.config import Config
+from uda_clr_tpu.data.fundus import FundusSegmentation
+from uda_clr_tpu.data.pipeline import BatchLoader
+from uda_clr_tpu.data.synthetic import SyntheticFundus
+from uda_clr_tpu.data.transforms import eval_transforms, train_transforms
+from uda_clr_tpu.models.deeplab import DeepLab
+from uda_clr_tpu.parallel.mesh import batch_sharding, get_mesh, replicated_sharding
+from uda_clr_tpu.train import checkpoint as ckpt_lib
+from uda_clr_tpu.train import optim as optim_lib
+from uda_clr_tpu.train.state import create_train_state
+from uda_clr_tpu.train.steps import make_eval_step, make_train_step
+from uda_clr_tpu.utils.logging import CsvLogger, ScalarWriter, StepTimer
+from uda_clr_tpu.utils.metrics import dice_coeff_2label, pixel_acc
+from uda_clr_tpu.utils.ramps import get_current_consistency_weight
+
+_ADVERSARIAL_METHODS = {"adversarial", "prototype", "prototype_full", "prototype_mt", "mean_teacher"}
+
+
+class Trainer:
+    def __init__(self, cfg: Config, datasets: dict | None = None):
+        """``datasets``: optional {'source','target','val'} override (tests);
+        otherwise built from cfg.data (synthetic or fundus directories)."""
+        self.cfg = cfg
+        self.method = cfg.method.method
+        os.makedirs(cfg.run.out_dir, exist_ok=True)
+        with open(os.path.join(cfg.run.out_dir, "config.yaml"), "w") as f:
+            f.write(cfg.to_yaml())
+
+        mesh_shape = cfg.run.mesh_shape
+        if mesh_shape is None:
+            # largest device count that divides the per-step batch, so the
+            # data axis shards evenly (static shapes, no padding)
+            n = len(jax.devices())
+            while cfg.data.batch_size % n:
+                n -= 1
+            mesh_shape = (n,)
+        self.mesh = get_mesh(mesh_shape)
+        self._batch_sharding = batch_sharding(self.mesh)
+        self._replicated = replicated_sharding(self.mesh)
+
+        size = cfg.data.image_size
+        if datasets is not None:
+            self.ds_s = datasets["source"]
+            self.ds_t = datasets.get("target", datasets["source"])
+            self.ds_val = datasets.get("val", self.ds_t)
+        elif cfg.data.synthetic:
+            n = cfg.data.synthetic_size
+            self.ds_s = SyntheticFundus(n, size + 28, seed=1, transform=train_transforms(size))
+            self.ds_t = SyntheticFundus(n, size + 28, seed=2, transform=train_transforms(size))
+            self.ds_val = SyntheticFundus(
+                max(n // 2, 2), size + 28, seed=3, transform=eval_transforms(size)
+            )
+        else:
+            self.ds_s = FundusSegmentation(
+                cfg.data.data_dir, cfg.data.dataset_source, "train", train_transforms(size)
+            )
+            self.ds_t = FundusSegmentation(
+                cfg.data.data_dir, cfg.data.dataset_target, "train", train_transforms(size)
+            )
+            self.ds_val = FundusSegmentation(
+                cfg.data.data_dir, cfg.data.dataset_target, "test", eval_transforms(size)
+            )
+
+        bs = cfg.data.batch_size
+        nw = cfg.data.num_workers
+        self.loader_s = BatchLoader(self.ds_s, bs, shuffle=True, seed=cfg.run.seed, num_workers=nw)
+        self.loader_t = BatchLoader(
+            self.ds_t, bs, shuffle=False, seed=cfg.run.seed + 1, num_workers=nw
+        )
+        self.loader_val = BatchLoader(
+            self.ds_val, bs, shuffle=False, drop_last=False, num_workers=nw
+        )
+        self._target_iter = self.loader_t.forever()
+
+        dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+        self.model = DeepLab(
+            num_classes=cfg.model.num_classes,
+            backbone=cfg.model.backbone,
+            output_stride=cfg.model.output_stride,
+            norm=cfg.model.norm,
+            dtype=dtype,
+        )
+        state = create_train_state(
+            self.model,
+            jax.random.PRNGKey(cfg.run.seed),
+            (bs, size, size, 3),
+            cfg.optim,
+            with_teacher=(self.method == "mean_teacher"),
+        )
+        self.state = jax.device_put(state, self._replicated)
+
+        self._steps = {}  # (proto_phase,) -> compiled step
+        self._eval_step = make_eval_step(self.model, dtype)
+
+        self.csv = CsvLogger(cfg.run.out_dir)
+        self.writer = ScalarWriter(cfg.run.out_dir)
+        self.timer = StepTimer()
+        self.epoch = 0
+        self.iteration = 0
+        self.best_mean_dice = 0.0
+        self.best_epoch = -1
+        self.last_throughput = 0.0
+
+        if cfg.run.resume:
+            self._resume(cfg.run.resume)
+
+    # ------------------------------------------------------------------
+    def _resume(self, tag_or_dir: str):
+        if os.path.isdir(tag_or_dir) and ckpt_lib.latest_checkpoint(tag_or_dir) is not None:
+            ckpt_dir = tag_or_dir
+            tag = ckpt_lib.latest_checkpoint(ckpt_dir)
+        else:
+            ckpt_dir = os.path.join(self.cfg.run.out_dir, "checkpoints")
+            tag = tag_or_dir
+        state, meta = ckpt_lib.restore_checkpoint(ckpt_dir, tag, self.state)
+        self.state = jax.device_put(state, self._replicated)
+        self.epoch = int(meta.get("epoch", -1)) + 1
+        self.best_mean_dice = float(meta.get("best_mean_dice", 0.0))
+
+    def _get_step(self, proto_phase: bool):
+        key = (proto_phase,)
+        if key not in self._steps:
+            self._steps[key] = make_train_step(
+                self.model, self.cfg, self.method, proto_phase=proto_phase
+            )
+        return self._steps[key]
+
+    def _device_batch(self, batch_s: dict, batch_t: dict | None) -> dict:
+        out = {
+            "image_s": batch_s["image"],
+            "map_s": batch_s["map"],
+            "boundary_s": batch_s["boundary"],
+        }
+        if batch_t is not None:
+            out["image_t"] = batch_t["image"]
+        if self.method == "mean_teacher":
+            out["consistency_weight"] = np.float32(
+                get_current_consistency_weight(
+                    self.epoch, self.cfg.method.consistency, self.cfg.method.consistency_rampup
+                )
+            )
+        sh = self._batch_sharding
+        return {
+            k: jax.device_put(v, sh) if getattr(v, "ndim", 0) > 1 else v for k, v in out.items()
+        }
+
+    # ------------------------------------------------------------------
+    def train_epoch(self):
+        cfg = self.cfg
+        proto_phase = (
+            self.method in ("prototype_full", "prototype_mt")
+            and cfg.method.use_pid
+            and self.epoch > cfg.method.warmup_epoch
+        )
+        step = self._get_step(proto_phase)
+        lr_gen = optim_lib.gen_lr_schedule(
+            self.epoch, cfg.optim.lr_gen, cfg.optim.lr_step_epochs, cfg.optim.lr_decrease_rate
+        )
+        lr_dis = cfg.optim.lr_dis
+        needs_target = self.method in _ADVERSARIAL_METHODS
+
+        self.timer.start()
+        pending = []
+        for batch_idx, batch_s in enumerate(self.loader_s.epoch(self.epoch)):
+            self.iteration = batch_idx + self.epoch * len(self.loader_s)
+            batch_t = next(self._target_iter) if needs_target else None
+            batch = self._device_batch(batch_s, batch_t)
+            self.state, metrics = step(self.state, batch, lr_gen, lr_dis, self.epoch)
+            pending.append((self.iteration, metrics))
+            self.timer.add_images(batch_s["image"].shape[0])
+
+        # one host sync per epoch for all scalars
+        fetched = jax.device_get([m for _, m in pending])
+        rows = []
+        sums: dict[str, float] = {}
+        for (iteration, _), m in zip(pending, fetched):
+            m = {k: float(v) for k, v in m.items()}
+            if not np.isfinite(m.get("loss_all", 0.0)):
+                raise ValueError("loss is nan while training")
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + v
+                self.writer.add_scalar(f"train/{k}", v, iteration)
+            rows.append({"epoch": self.epoch, "iteration": iteration, **m})
+        self.csv.write_train_rows(rows)
+
+        dt, ips = self.timer.stop()
+        self.last_throughput = ips
+        n = max(len(rows), 1)
+        means = {k: v / n for k, v in sums.items()}
+        self.writer.add_scalar("lr_gen", lr_gen, self.epoch * len(self.loader_s))
+        print(
+            f"[Epoch: {self.epoch}] lr:{lr_gen:.6f} "
+            + " ".join(f"{k}:{v:.4f}" for k, v in sorted(means.items()))
+            + f"  {ips:.2f} img/s  time:{dt:.1f}s"
+        )
+        return means
+
+    # ------------------------------------------------------------------
+    def validate(self):
+        variables = {"params": self.state.gen_params, "batch_stats": self.state.gen_stats}
+        tot = {"loss": 0.0, "cup_dice": 0.0, "disc_dice": 0.0, "cup_pa": 0.0,
+               "disc_pa": 0.0, "cup_iou": 0.0, "disc_iou": 0.0}
+        n_batches = 0
+        for batch in self.loader_val.epoch(0):
+            logits, _, loss = self._eval_step(variables, batch["image"], batch["map"])
+            logits = np.asarray(logits)
+            loss = float(loss)
+            if not np.isfinite(loss):
+                raise ValueError("loss is nan while validating")
+            cup_d, disc_d = dice_coeff_2label(logits, batch["map"])
+            pa_cup, pa_disc, iou_cup, iou_disc = pixel_acc(logits, batch["map"])
+            tot["loss"] += loss
+            tot["cup_dice"] += cup_d
+            tot["disc_dice"] += disc_d
+            tot["cup_pa"] += pa_cup
+            tot["disc_pa"] += pa_disc
+            tot["cup_iou"] += iou_cup
+            tot["disc_iou"] += iou_disc
+            n_batches += 1
+        for k in tot:
+            tot[k] /= max(n_batches, 1)
+
+        step = self.epoch * len(self.loader_s)
+        self.writer.add_scalar("val_data/loss_CE", tot["loss"], step)
+        self.writer.add_scalar("val_data/val_CUP_dice", tot["cup_dice"], step)
+        self.writer.add_scalar("val_data/val_DISC_dice", tot["disc_dice"], step)
+        self.writer.add_scalar("val_data/val_CUP_PA", tot["cup_pa"], step)
+        self.writer.add_scalar("val_data/val_DISC_PA", tot["disc_pa"], step)
+        self.writer.add_scalar("val_data/val_CUP_IOU", tot["cup_iou"], step)
+        self.writer.add_scalar("val_data/val_DISC_IOU", tot["disc_iou"], step)
+
+        mean_dice = tot["cup_dice"] + tot["disc_dice"]
+        ckpt_dir = os.path.join(self.cfg.run.out_dir, "checkpoints")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        if mean_dice > self.best_mean_dice:
+            self.best_epoch = self.epoch + 1
+            self.best_mean_dice = mean_dice
+            ckpt_lib.save_checkpoint(
+                ckpt_dir, self.state, self.epoch, self.best_mean_dice,
+                f"checkpoint_{self.best_epoch}",
+            )
+        elif (self.epoch + 1) % self.cfg.run.checkpoint_every == 0:
+            ckpt_lib.save_checkpoint(
+                ckpt_dir, self.state, self.epoch, self.best_mean_dice,
+                f"checkpoint_{self.epoch + 1}",
+            )
+        self.csv.write_valid_row(
+            self.epoch, self.iteration, tot["loss"], tot["cup_dice"], tot["disc_dice"],
+            self.best_epoch,
+        )
+        self.writer.add_scalar("best_model_epoch", self.best_epoch, step)
+        return tot
+
+    # ------------------------------------------------------------------
+    def train(self):
+        cfg = self.cfg
+        stop_epoch = cfg.run.stop_epoch if cfg.run.stop_epoch is not None else cfg.run.max_epoch
+        for epoch in range(self.epoch, cfg.run.max_epoch):
+            self.epoch = epoch
+            self.train_epoch()
+            if epoch == stop_epoch:
+                print(f"Stop epoch at {stop_epoch}")
+                break
+            if (epoch + 1) % cfg.run.interval_validate == 0:
+                self.validate()
+        self.writer.close()
