@@ -74,20 +74,25 @@ def main():
 
     step = make_train_step(model, cfg, "prototype_full", proto_phase=True)
 
-    # compile + warmup
+    # compile + warmup. NOTE: timing barriers are host fetches of a scalar
+    # that depends on the full step chain — on this environment's tunneled
+    # TPU relay, block_until_ready returns before device execution
+    # completes, so a data-dependent fetch is the only sound barrier.
     t0 = time.time()
     state, metrics = step(state, data, 1e-3, 2.5e-5, 30)
-    jax.block_until_ready(metrics)
+    float(metrics["loss_all"])
     compile_s = time.time() - t0
     for _ in range(2):
         state, metrics = step(state, data, 1e-3, 2.5e-5, 30)
-    jax.block_until_ready(metrics)
+    float(metrics["loss_all"])
 
-    iters = 10
+    iters = 20
     t0 = time.time()
     for _ in range(iters):
         state, metrics = step(state, data, 1e-3, 2.5e-5, 30)
-    jax.block_until_ready(metrics)
+    # steps chain through `state`; fetching the final loss forces the
+    # whole sequence to complete before the clock stops
+    float(metrics["loss_all"])
     dt = time.time() - t0
 
     ips = iters * batch / dt

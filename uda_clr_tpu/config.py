@@ -67,6 +67,7 @@ class MethodConfig:
     # Trainer_prototype (disk-bank variant)
     bank_ema: float = 0.001
     bank_loss_weight: float = 0.05
+    prototype_bank_path: str = ""  # cal_prototype .npz output
     # paper-complete CLR losses (Trainer_prototype_mt)
     use_trg_cons: bool = True
     aug_weight: float = 0.1

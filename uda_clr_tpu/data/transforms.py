@@ -280,6 +280,115 @@ class Normalize_tf:
         }
 
 
+class FixedResize:
+    """Resize to (h, w): image bilinear, mask nearest
+    (custom_transforms.py:226-242)."""
+
+    def __init__(self, size):
+        self.size = tuple(reversed(size))  # (h, w) -> PIL (w, h)
+
+    def __call__(self, sample, rng=None):
+        img = _to_pil(sample["image"]).resize(self.size, Image.BILINEAR)
+        mask = _to_pil(sample["label"]).resize(self.size, Image.NEAREST)
+        return {"image": img, "label": mask, "img_name": sample["img_name"]}
+
+
+class Scale:
+    """Resize shorter side preserving the reference's early-exit quirk
+    (custom_transforms.py:245-269)."""
+
+    def __init__(self, size):
+        self.size = (int(size), int(size)) if isinstance(size, (int, float)) else size
+
+    def __call__(self, sample, rng=None):
+        img, mask = _to_pil(sample["image"]), _to_pil(sample["label"])
+        w, h = img.size
+        if (w >= h and w == self.size[1]) or (h >= w and h == self.size[0]):
+            return {"image": img, "label": mask, "img_name": sample["img_name"]}
+        oh, ow = self.size
+        img = img.resize((ow, oh), Image.BILINEAR)
+        mask = mask.resize((ow, oh), Image.NEAREST)
+        return {"image": img, "label": mask, "img_name": sample["img_name"]}
+
+
+class RandomSizedCrop:
+    """Random area/aspect crop then resize (custom_transforms.py:272-312)."""
+
+    def __init__(self, size):
+        self.size = size
+
+    def __call__(self, sample, rng):
+        img, mask = _to_pil(sample["image"]), _to_pil(sample["label"])
+        for _ in range(10):
+            area = img.size[0] * img.size[1]
+            target_area = rng.uniform(0.45, 1.0) * area
+            aspect = rng.uniform(0.5, 2)
+            w = int(round(np.sqrt(target_area * aspect)))
+            h = int(round(np.sqrt(target_area / aspect)))
+            if rng.random() < 0.5:
+                w, h = h, w
+            if w <= img.size[0] and h <= img.size[1]:
+                x1 = int(rng.integers(0, img.size[0] - w + 1))
+                y1 = int(rng.integers(0, img.size[1] - h + 1))
+                img = img.crop((x1, y1, x1 + w, y1 + h))
+                mask = mask.crop((x1, y1, x1 + w, y1 + h))
+                img = img.resize((self.size, self.size), Image.BILINEAR)
+                mask = mask.resize((self.size, self.size), Image.NEAREST)
+                return {"image": img, "label": mask, "img_name": sample["img_name"]}
+        sample = Scale(self.size)({"image": img, "label": mask, "img_name": sample["img_name"]})
+        return CenterCrop(self.size)(sample)
+
+
+class ResizeImg:
+    """Resize the image only (custom_transforms.py:358-372)."""
+
+    def __init__(self, size):
+        self.size = size
+
+    def __call__(self, sample, rng=None):
+        img = _to_pil(sample["image"]).resize((self.size, self.size))
+        return {"image": img, "label": sample["label"], "img_name": sample["img_name"]}
+
+
+class Resize:
+    """Resize image and mask with PIL default resampling
+    (custom_transforms.py:375-390)."""
+
+    def __init__(self, size):
+        self.size = size
+
+    def __call__(self, sample, rng=None):
+        img = _to_pil(sample["image"]).resize((self.size, self.size))
+        mask = _to_pil(sample["label"]).resize((self.size, self.size))
+        return {"image": img, "label": mask, "img_name": sample["img_name"]}
+
+
+class Normalize:
+    """Mean/std normalization after /255 (custom_transforms.py:392-411)."""
+
+    def __init__(self, mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0)):
+        self.mean = mean
+        self.std = std
+
+    def __call__(self, sample, rng=None):
+        img = np.asarray(sample["image"]).astype(np.float32) / 255.0
+        img = (img - np.float32(self.mean)) / np.float32(self.std)
+        mask = np.asarray(sample["label"]).astype(np.float32)
+        return {"image": img, "label": mask, "img_name": sample["img_name"]}
+
+
+class Normalize_cityscapes:
+    """Mean subtraction then /255 (custom_transforms.py:469-486)."""
+
+    def __init__(self, mean=(0.0, 0.0, 0.0)):
+        self.mean = mean
+
+    def __call__(self, sample, rng=None):
+        img = (np.asarray(sample["image"]).astype(np.float32) - np.float32(self.mean)) / np.float32(255.0)
+        mask = np.asarray(sample["label"]).astype(np.float32)
+        return {"image": img, "label": mask, "img_name": sample["img_name"]}
+
+
 def train_transforms(size: int = 512) -> Compose:
     """The reference training pipeline (train_use_fix_initial.py:150-160)."""
     return Compose(

@@ -189,6 +189,16 @@ def source_discriminative_loss(
     return loss_0_obj + loss_0_bck + loss_1_obj + loss_1_bck
 
 
+def masked_pool_mean(feature: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-image masked pooling with +1-smoothed denominator, then batch
+    mean: ``mean_b( sum_hw(feat*mask) / (sum_hw(mask)+1) )`` — the bmm
+    pooling used by Trainer_prototype (:360-383) and cal_prototype
+    (:156-175). [B,h,w,C] x [B,h,w,1] -> [C]."""
+    num = jnp.sum(feature * mask, axis=(1, 2))  # [B, C]
+    den = jnp.sum(mask, axis=(1, 2)) + 1.0  # [B, 1]
+    return jnp.mean(num / den, axis=0)
+
+
 def adaptation_factor(m) -> jnp.ndarray:
     """Epoch-ramped pseudo-label threshold (Utils.py:104-107):
     ``1/(1+exp(-0.8(m+1))) - 0.3``."""

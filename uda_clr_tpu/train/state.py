@@ -47,6 +47,11 @@ class TrainState:
     teacher_params: Any = None
     teacher_stats: Any = None
 
+    # disk-initialized prototype bank for the Trainer_prototype variant:
+    # {'bu': [304], 'cup': [305], 'disc': [305]} (cal_prototype output,
+    # EMA-updated with momentum 0.001 — Trainer_prototype.py:62-64,117-123)
+    proto_bank: Any = None
+
 
 def create_train_state(
     model: DeepLab,
@@ -54,6 +59,7 @@ def create_train_state(
     input_shape: tuple,
     optim_cfg=None,
     with_teacher: bool = False,
+    with_proto_bank: bool = False,
     dis_input_hw: Optional[tuple] = None,
 ) -> TrainState:
     """Initialize all params/opt-states on one host call.
@@ -95,5 +101,14 @@ def create_train_state(
         proto_trg_init=jnp.zeros((), bool),
         teacher_params=jax.tree.map(jnp.copy, gen_params) if with_teacher else None,
         teacher_stats=jax.tree.map(jnp.copy, gen_stats) if with_teacher else None,
+        proto_bank=(
+            {
+                "bu": jnp.zeros((FEATURE_DIM - 1,), jnp.float32),
+                "cup": jnp.zeros((FEATURE_DIM,), jnp.float32),
+                "disc": jnp.zeros((FEATURE_DIM,), jnp.float32),
+            }
+            if with_proto_bank
+            else None
+        ),
     )
     return state

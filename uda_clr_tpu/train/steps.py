@@ -102,6 +102,7 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
 
     use_adv = method != "baseline"
     use_proto_full = method in ("prototype_full", "prototype_mt") and proto_phase
+    use_proto_bank = method == "prototype" and proto_phase
     use_mt_losses = method == "prototype_mt" and proto_phase
     use_teacher = method == "mean_teacher"
 
@@ -223,6 +224,56 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
                     loss = loss + mcfg.src_reg_weight * src_reg
                     m["loss_src_reg"] = src_reg
 
+            if use_proto_bank:
+                # Trainer_prototype variant: batch prototypes via per-image
+                # +1-smoothed pooling, epoch-ramped pseudo-label thresholds,
+                # MSE prototype-distance losses weighted 0.05
+                # (Trainer_prototype.py:355-476).
+                feat_hw = (out_s.x_feature.shape[1], out_s.x_feature.shape[2])
+                from uda_clr_tpu.ops.resize import resize_bilinear_align_corners
+
+                pred_s = resize_bilinear_align_corners(map_s, feat_hw)
+                bu_s = resize_bilinear_align_corners(boundary_s, feat_hw)
+                xs_bu = out_s.x_bu_feature.astype(jnp.float32)
+                xs_f = out_s.x_feature.astype(jnp.float32)
+                proto_x_bu = P.masked_pool_mean(xs_bu, bu_s)
+                proto_x_cup = P.masked_pool_mean(xs_f, pred_s[..., 0:1])
+                proto_x_disc = P.masked_pool_mean(xs_f, pred_s[..., 1:2])
+
+                thr = P.adaptation_factor(epoch)
+                bu_rect = (
+                    jax.nn.sigmoid(out_t.boundary_before.astype(jnp.float32)) > thr
+                ).astype(jnp.float32)
+                pred_t = jax.nn.sigmoid(out_t.mask_before.astype(jnp.float32))
+                cup_rect = (pred_t[..., 0:1] > thr).astype(jnp.float32)
+                disc_rect = (pred_t[..., 1:2] > thr).astype(jnp.float32)
+                xt_bu = out_t.x_bu_feature.astype(jnp.float32)
+                xt_f = out_t.x_feature.astype(jnp.float32)
+                proto_y_bu = P.masked_pool_mean(xt_bu, bu_rect)
+                proto_y_cup = P.masked_pool_mean(xt_f, cup_rect)
+                proto_y_disc = P.masked_pool_mean(xt_f, disc_rect)
+
+                dis_bu = jnp.mean(jnp.square(proto_x_bu - proto_y_bu))
+                dis_cup = jnp.mean(jnp.square(proto_x_cup - proto_y_cup))
+                dis_disc = jnp.mean(jnp.square(proto_x_disc - proto_y_disc))
+                loss = loss + mcfg.bank_loss_weight * (dis_bu + dis_cup + dis_disc)
+                m["loss_bu"] = dis_bu
+                m["loss_cup"] = dis_cup
+                m["loss_disc"] = dis_disc
+
+                # EMA the disk bank toward current target prototypes
+                # (update_objective_SingleVector, momentum 0.001; skipped
+                # for all-zero vectors like the reference's guard)
+                mom = mcfg.bank_ema
+                new_bank = {}
+                for key, cur in (
+                    ("bu", proto_y_bu), ("cup", proto_y_cup), ("disc", proto_y_disc)
+                ):
+                    bank_v = state.proto_bank[key]
+                    upd = (1.0 - mom) * bank_v + mom * jax.lax.stop_gradient(cur)
+                    new_bank[key] = jnp.where(jnp.sum(cur) != 0.0, upd, bank_v)
+                aux["new_bank"] = new_bank
+
             if use_mt_losses and mcfg.use_trg_cons:
                 # augmented-consistency on target (bytecode-only
                 # Trainer_prototype_mt; rebuilt from utils/Utils.py:33-85
@@ -306,6 +357,7 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
             proto_trg = aux["new_trg"]
             proto_src_init = jnp.ones((), bool)
             proto_trg_init = jnp.ones((), bool)
+        proto_bank = aux["new_bank"] if use_proto_bank else state.proto_bank
 
         # ---- teacher EMA (after student step, Trainer_MT semantics) ----
         teacher_params, teacher_stats = state.teacher_params, state.teacher_stats
@@ -332,6 +384,7 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
             proto_trg_init=proto_trg_init,
             teacher_params=teacher_params,
             teacher_stats=teacher_stats,
+            proto_bank=proto_bank,
         )
         return new_state, metrics
 

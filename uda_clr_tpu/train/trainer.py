@@ -106,7 +106,13 @@ class Trainer:
             (bs, size, size, 3),
             cfg.optim,
             with_teacher=(self.method == "mean_teacher"),
+            with_proto_bank=(self.method == "prototype"),
         )
+        if self.method == "prototype" and cfg.method.prototype_bank_path:
+            bank = np.load(cfg.method.prototype_bank_path)
+            state = state.replace(
+                proto_bank={k: jnp.asarray(bank[k], jnp.float32) for k in ("bu", "cup", "disc")}
+            )
         self.state = jax.device_put(state, self._replicated)
 
         self._steps = {}  # (proto_phase,) -> compiled step
@@ -167,11 +173,12 @@ class Trainer:
     # ------------------------------------------------------------------
     def train_epoch(self):
         cfg = self.cfg
+        past_warmup = self.epoch > cfg.method.warmup_epoch
         proto_phase = (
             self.method in ("prototype_full", "prototype_mt")
             and cfg.method.use_pid
-            and self.epoch > cfg.method.warmup_epoch
-        )
+            and past_warmup
+        ) or (self.method == "prototype" and past_warmup)
         step = self._get_step(proto_phase)
         lr_gen = optim_lib.gen_lr_schedule(
             self.epoch, cfg.optim.lr_gen, cfg.optim.lr_step_epochs, cfg.optim.lr_decrease_rate

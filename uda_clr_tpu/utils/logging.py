@@ -52,10 +52,12 @@ class CsvLogger:
                     r.get("epoch", ""),
                     r.get("iteration", ""),
                     r.get("loss_seg", ""),
+                    r.get("cup_dice", ""),
+                    r.get("disc_dice", ""),
                     r.get("loss_adv", ""),
                     r.get("loss_D", ""),
                     r.get("loss_D2", ""),
-                ] + [""] * 5 + [r.get("elapsed_time", self.elapsed())]
+                ] + [""] * 3 + [r.get("elapsed_time", self.elapsed())]
                 f.write(",".join(str(c) for c in cells) + "\n")
 
     def write_valid_row(self, epoch, iteration, loss, cup_dice, disc_dice, best_epoch) -> None:
