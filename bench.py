@@ -78,13 +78,16 @@ def main():
     # that depends on the full step chain — on this environment's tunneled
     # TPU relay, block_until_ready returns before device execution
     # completes, so a data-dependent fetch is the only sound barrier.
+    print("# compiling...", flush=True)
     t0 = time.time()
     state, metrics = step(state, data, 1e-3, 2.5e-5, 30)
     float(metrics["loss_all"])
     compile_s = time.time() - t0
+    print(f"# compiled in {compile_s:.1f}s; warmup...", flush=True)
     for _ in range(2):
         state, metrics = step(state, data, 1e-3, 2.5e-5, 30)
     float(metrics["loss_all"])
+    print("# timing...", flush=True)
 
     iters = 20
     t0 = time.time()

@@ -1,0 +1,206 @@
+// Native host-side augmentation kernels for the fundus input pipeline.
+//
+// The reference's data path leans on scipy.ndimage for its most expensive
+// host work (elastic deformation: two 512x512 gaussian_filter calls + 4x
+// map_coordinates, reference dataloaders/custom_transforms.py:95-147; and
+// the boundary target: 4x binary morphology + gaussian blur, :414-429,
+// 458-460). On the single-core hosts driving TPU slices this dominates
+// input latency, so these run here as cache-friendly C++ with separable
+// convolutions and fused bilinear gathers. Python binds via ctypes
+// (uda_clr_tpu/data/native.py) and falls back to scipy when the shared
+// library is unavailable.
+//
+// Numerics match scipy.ndimage semantics:
+//   * gaussian_filter1d: truncated gaussian (radius = int(4*sigma + 0.5)),
+//     "constant" (zero) or "reflect" padding;
+//   * map_coordinates(order=1): bilinear with constant-0 (image) or
+//     nearest (label) border handling;
+//   * binary_dilation/erosion: cross-shaped (connectivity-1) structuring
+//     element, iterated.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+std::vector<double> gaussian_kernel(double sigma, int* radius_out) {
+  int radius = static_cast<int>(4.0 * sigma + 0.5);
+  std::vector<double> k(2 * radius + 1);
+  double sum = 0.0;
+  for (int i = -radius; i <= radius; ++i) {
+    double v = std::exp(-0.5 * (i * i) / (sigma * sigma));
+    k[i + radius] = v;
+    sum += v;
+  }
+  for (double& v : k) v /= sum;
+  *radius_out = radius;
+  return k;
+}
+
+enum class Pad { kConstant, kReflect };
+
+// 1-D convolution of one line through a zero/reflect-padded scratch buffer:
+// branch-free inner loop over a contiguous window, exploiting kernel
+// symmetry (acc += k[j] * (s[i-j] + s[i+j])).
+void conv_line(const double* src, int src_stride, double* dst, int dst_stride,
+               int n, const std::vector<double>& k, int radius, Pad pad,
+               std::vector<double>& scratch) {
+  const int padded = n + 2 * radius;
+  if ((int)scratch.size() < padded) scratch.resize(padded);
+  double* s = scratch.data();
+  for (int i = 0; i < n; ++i) s[radius + i] = src[i * src_stride];
+  if (pad == Pad::kConstant) {
+    std::fill(s, s + radius, 0.0);
+    std::fill(s + radius + n, s + padded, 0.0);
+  } else {  // scipy 'reflect' (d c b a | a b c d | d c b a)
+    for (int i = 0; i < radius; ++i) {
+      int idx = -(i + 1);
+      while (idx < 0 || idx >= n) {
+        if (idx < 0) idx = -idx - 1;
+        if (idx >= n) idx = 2 * n - idx - 1;
+      }
+      s[radius - 1 - i] = src[idx * src_stride];
+      idx = n + i;
+      while (idx < 0 || idx >= n) {
+        if (idx < 0) idx = -idx - 1;
+        if (idx >= n) idx = 2 * n - idx - 1;
+      }
+      s[radius + n + i] = src[idx * src_stride];
+    }
+  }
+  const double* kc = k.data() + radius;  // center tap
+  for (int i = 0; i < n; ++i) {
+    const double* c = s + radius + i;
+    double acc = kc[0] * c[0];
+    for (int j = 1; j <= radius; ++j) acc += kc[j] * (c[-j] + c[j]);
+    dst[i * dst_stride] = acc;
+  }
+}
+
+void gaussian2d(double* data, int h, int w, double sigma, Pad pad) {
+  int radius;
+  auto k = gaussian_kernel(sigma, &radius);
+  std::vector<double> scratch;
+  std::vector<double> tmp(std::max(h, w));
+  // rows
+  for (int y = 0; y < h; ++y) {
+    conv_line(data + y * w, 1, tmp.data(), 1, w, k, radius, pad, scratch);
+    std::memcpy(data + y * w, tmp.data(), w * sizeof(double));
+  }
+  // cols
+  for (int x = 0; x < w; ++x) {
+    conv_line(data + x, w, tmp.data(), 1, h, k, radius, pad, scratch);
+    for (int y = 0; y < h; ++y) data[y * w + x] = tmp[y];
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// In-place separable gaussian blur of a float64 [h, w] field.
+// pad_mode: 0 = constant(0), 1 = reflect.
+void fundus_gaussian2d(double* data, int h, int w, double sigma, int pad_mode) {
+  gaussian2d(data, h, w, sigma,
+             pad_mode == 0 ? Pad::kConstant : Pad::kReflect);
+}
+
+// Elastic warp. rand_x/rand_y are the U(-1,1) fields (float64 [h,w]);
+// displacement = gaussian(rand, sigma, constant) * alpha. Image [h,w,3]
+// uint8 sampled bilinearly with constant-0 border; label [h,w] uint8
+// sampled bilinearly with nearest border (mirrors map_coordinates modes
+// used by the reference).
+void fundus_elastic(const uint8_t* image, const uint8_t* label,
+                    double* rand_x, double* rand_y, int h, int w,
+                    double alpha, double sigma, uint8_t* out_image,
+                    uint8_t* out_label) {
+  gaussian2d(rand_x, h, w, sigma, Pad::kConstant);
+  gaussian2d(rand_y, h, w, sigma, Pad::kConstant);
+
+  for (int y = 0; y < h; ++y) {
+    for (int x = 0; x < w; ++x) {
+      double sy = y + rand_x[y * w + x] * alpha;  // reference: dx shifts axis 0
+      double sx = x + rand_y[y * w + x] * alpha;
+      int y0 = static_cast<int>(std::floor(sy));
+      int x0 = static_cast<int>(std::floor(sx));
+      double fy = sy - y0, fx = sx - x0;
+
+      // image: scipy map_coordinates(mode='constant') semantics — a sample
+      // whose coordinate falls outside [0, n-1] yields cval (0) entirely
+      bool inside = sy >= 0.0 && sy <= h - 1 && sx >= 0.0 && sx <= w - 1;
+      for (int c = 0; c < 3; ++c) {
+        double acc = 0.0;
+        if (inside) {
+          for (int dy = 0; dy < 2; ++dy) {
+            for (int dx = 0; dx < 2; ++dx) {
+              int yy = std::min(y0 + dy, h - 1), xx = std::min(x0 + dx, w - 1);
+              double wgt = (dy ? fy : 1 - fy) * (dx ? fx : 1 - fx);
+              acc += wgt * image[(yy * w + xx) * 3 + c];
+            }
+          }
+        }
+        out_image[(y * w + x) * 3 + c] = static_cast<uint8_t>(acc);
+      }
+      // label: nearest border (clamp)
+      double acc = 0.0;
+      for (int dy = 0; dy < 2; ++dy) {
+        for (int dx = 0; dx < 2; ++dx) {
+          int yy = std::clamp(y0 + dy, 0, h - 1);
+          int xx = std::clamp(x0 + dx, 0, w - 1);
+          double wgt = (dy ? fy : 1 - fy) * (dx ? fx : 1 - fx);
+          acc += wgt * label[yy * w + xx];
+        }
+      }
+      out_label[y * w + x] = static_cast<uint8_t>(acc);
+    }
+  }
+}
+
+// Boundary-ring target: for each of 2 mask channels (uint8 0/1 [h,w]),
+// ring = dilate^iters XOR erode^iters (cross-shaped structuring element);
+// out = union of rings (0/1 uint8).
+void fundus_boundary_ring(const uint8_t* mask2, int h, int w, int iters,
+                          uint8_t* out) {
+  std::vector<uint8_t> a(h * w), b(h * w), dil(h * w), ero(h * w);
+  std::memset(out, 0, h * w);
+  auto step = [&](const std::vector<uint8_t>& src, std::vector<uint8_t>& dst,
+                  bool dilate) {
+    for (int y = 0; y < h; ++y) {
+      for (int x = 0; x < w; ++x) {
+        uint8_t c = src[y * w + x];
+        // scipy border: dilation treats outside as 0, erosion as... scipy
+        // binary_erosion has border_value=0 -> border pixels erode away.
+        uint8_t up = y > 0 ? src[(y - 1) * w + x] : 0;
+        uint8_t dn = y < h - 1 ? src[(y + 1) * w + x] : 0;
+        uint8_t lf = x > 0 ? src[y * w + x - 1] : 0;
+        uint8_t rt = x < w - 1 ? src[y * w + x + 1] : 0;
+        if (dilate)
+          dst[y * w + x] = (c | up | dn | lf | rt) ? 1 : 0;
+        else
+          dst[y * w + x] = (c & up & dn & lf & rt) ? 1 : 0;
+      }
+    }
+  };
+  for (int ch = 0; ch < 2; ++ch) {
+    for (int i = 0; i < h * w; ++i) a[i] = mask2[i * 2 + ch] ? 1 : 0;
+    dil = a;
+    for (int it = 0; it < iters; ++it) {
+      step(dil, b, true);
+      std::swap(dil, b);
+    }
+    ero = a;
+    for (int it = 0; it < iters; ++it) {
+      step(ero, b, false);
+      std::swap(ero, b);
+    }
+    for (int i = 0; i < h * w; ++i) {
+      uint8_t ring = (dil[i] + ero[i]) == 1 ? 1 : 0;  // ==2 -> interior
+      out[i] |= ring;
+    }
+  }
+}
+
+}  // extern "C"

@@ -1,0 +1,74 @@
+"""Native C++ augmentation kernels vs scipy oracles."""
+
+import numpy as np
+import pytest
+import scipy.ndimage as ndi
+
+from uda_clr_tpu.data import native
+
+
+requires_native = pytest.mark.skipif(not native.available(), reason="native lib not built")
+
+
+@requires_native
+def test_gaussian2d_matches_scipy():
+    rng = np.random.default_rng(0)
+    f = rng.standard_normal((64, 64))
+    for sigma, mode in [(3.0, "constant"), (5.12, "constant"), (3.0, "reflect")]:
+        got = native.gaussian2d(f, sigma, mode)
+        want = ndi.gaussian_filter(f, sigma, mode=mode, cval=0)
+        np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+
+@requires_native
+def test_elastic_matches_scipy_path():
+    rng = np.random.default_rng(1)
+    h = w = 48
+    img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    lbl = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    rx = rng.random((h, w)) * 2 - 1
+    ry = rng.random((h, w)) * 2 - 1
+    alpha, sigma = w * 2.0, w * 0.08
+
+    got_img, got_lbl = native.elastic(img, lbl, rx, ry, alpha, sigma)
+
+    dx = ndi.gaussian_filter(rx, sigma, mode="constant", cval=0) * alpha
+    dy = ndi.gaussian_filter(ry, sigma, mode="constant", cval=0) * alpha
+    x, y = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    idx = (np.reshape(x + dx, (-1, 1)), np.reshape(y + dy, (-1, 1)))
+    want_img = np.zeros((h, w, 3))
+    for c in range(3):
+        want_img[:, :, c] = ndi.map_coordinates(img[:, :, c], idx, order=1).reshape(h, w)
+    want_lbl = ndi.map_coordinates(lbl, idx, order=1, mode="nearest").reshape(h, w)
+
+    # uint8 truncation may differ by 1 on exact .0 boundaries
+    assert np.abs(got_img.astype(int) - want_img.astype(np.uint8).astype(int)).max() <= 1
+    assert np.abs(got_lbl.astype(int) - want_lbl.astype(np.uint8).astype(int)).max() <= 1
+
+
+@requires_native
+def test_boundary_ring_matches_scipy():
+    m = np.zeros((40, 40, 2), np.uint8)
+    m[10:30, 10:30, 1] = 1
+    m[15:25, 15:25, 0] = 1
+    got = native.boundary_ring(m, iters=5)
+
+    want = np.zeros((40, 40), np.uint8)
+    for ch in range(2):
+        a = m[..., ch]
+        dil = ndi.binary_dilation(a, iterations=5)
+        ero = ndi.binary_erosion(a, iterations=5)
+        want |= (dil.astype(np.uint8) + ero.astype(np.uint8) == 1).astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fallback_paths_work(monkeypatch):
+    # force the scipy fallback regardless of build status
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", True)
+    f = np.random.default_rng(2).standard_normal((16, 16))
+    out = native.gaussian2d(f, 2.0)
+    np.testing.assert_allclose(out, ndi.gaussian_filter(f, 2.0, mode="constant", cval=0))
+    m = np.zeros((16, 16, 2), np.uint8)
+    m[4:12, 4:12, 0] = 1
+    assert native.boundary_ring(m, 2).max() == 1

@@ -151,20 +151,16 @@ class elastic_transform:
         img = _to_pil(sample["image"])
         lbl = sample["label"]
         if rng.random() > 0.5:
+            from uda_clr_tpu.data import native
+
             shape = img.size[0:2]
             alpha = img.size[1] * 2
             sigma = img.size[1] * 0.08
-            dx = ndi.gaussian_filter(rng.random(shape) * 2 - 1, sigma, mode="constant", cval=0) * alpha
-            dy = ndi.gaussian_filter(rng.random(shape) * 2 - 1, sigma, mode="constant", cval=0) * alpha
-            x, y = np.meshgrid(np.arange(shape[0]), np.arange(shape[1]), indexing="ij")
-            indices = np.reshape(x + dx, (-1, 1)), np.reshape(y + dy, (-1, 1))
-            arr = np.asarray(img)
-            out = np.zeros([shape[0], shape[1], 3])
-            for i in range(3):
-                out[:, :, i] = ndi.map_coordinates(arr[:, :, i], indices, order=1).reshape(shape)
-            out_lbl = ndi.map_coordinates(
-                np.asarray(_to_pil(lbl)), indices, order=1, mode="nearest"
-            ).reshape(shape)
+            rand_x = rng.random(shape) * 2 - 1
+            rand_y = rng.random(shape) * 2 - 1
+            out, out_lbl = native.elastic(
+                np.asarray(img), np.asarray(_to_pil(lbl)), rand_x, rand_y, alpha, sigma
+            )
             return {
                 "image": out.astype(np.uint8),
                 "label": out_lbl.astype(np.uint8),
@@ -239,15 +235,9 @@ class GetBoundary:
         self.width = width
 
     def __call__(self, mask):
-        boundary = np.zeros(mask.shape[:2], dtype=np.uint8)
-        for ch in range(2):
-            m = mask[:, :, ch]
-            dila = ndi.binary_dilation(m, iterations=self.width).astype(m.dtype)
-            eros = ndi.binary_erosion(m, iterations=self.width).astype(m.dtype)
-            ring = dila + eros
-            ring[ring == 2] = 0
-            boundary |= ring.astype(np.uint8)
-        return (boundary > 0).astype(np.uint8)
+        from uda_clr_tpu.data import native
+
+        return native.boundary_ring(mask[:, :, :2], iters=self.width)
 
 
 class Normalize_tf:

@@ -13,6 +13,13 @@ Forward contract (reference networks/deeplabv3.py:32-41), NHWC here:
 BatchNorm2d, deeplabv3.py:17-20, which becomes *cross-replica* BN here when
 the batch is sharded over a mesh); ``norm='tn'`` is TransNorm
 (``--use_TN``).
+
+The module is split into ``features`` (backbone — no dropout anywhere in
+any of the four backbones) and ``heads`` (ASPP + decoder + upsample, all
+the dropout layers). MC-dropout pseudo-label rectification exploits this:
+one backbone pass feeds a vmap of T dropout-sampled head passes
+(train/steps.py), instead of the reference's T/2 full forwards of a
+2x-repeated batch (Trainer_prototype_full.py:358-368).
 """
 
 from __future__ import annotations
@@ -40,7 +47,7 @@ class DeepLabOutputs(NamedTuple):
     boundary_before: jnp.ndarray
 
 
-def build_backbone(backbone: str, output_stride: int, norm: str, dtype: Any):
+def _build_backbone(backbone: str, output_stride: int, norm: str, dtype: Any):
     if backbone == "mobilenet":
         return MobileNetV2(output_stride=output_stride, norm=norm, dtype=dtype, name="backbone")
     if backbone == "resnet":
@@ -65,25 +72,37 @@ class DeepLab(nn.Module):
     norm: str = "bn"  # 'bn' | 'tn'
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False, domains: int = 1) -> DeepLabOutputs:
+    def setup(self):
         output_stride = 8 if self.backbone == "drn" else self.output_stride
-        high, low = build_backbone(self.backbone, output_stride, self.norm, self.dtype)(
-            x, train, domains
-        )
-        feat = ASPP(
-            output_stride=output_stride, norm=self.norm, dtype=self.dtype, name="aspp"
-        )(high, train, domains)
-        x1, boundary, x_bu_feature, x_feature = Decoder(
+        self._os = output_stride
+        self.backbone_net = _build_backbone(self.backbone, output_stride, self.norm, self.dtype)
+        self.aspp = ASPP(output_stride=output_stride, norm=self.norm, dtype=self.dtype)
+        self.decoder = Decoder(
             num_classes=self.num_classes,
             low_level_features=_LOW_LEVEL_FEATURES[self.backbone],
             norm=self.norm,
             dtype=self.dtype,
-            name="decoder",
-        )(feat, low, train, domains)
-        size = (x.shape[1], x.shape[2])
-        mask_logits = resize_bilinear_align_corners(x1, size)
-        boundary_logits = resize_bilinear_align_corners(boundary, size)
+        )
+
+    def features(self, x: jnp.ndarray, train: bool = False, domains: int = 1):
+        """Backbone only (deterministic — no dropout in any backbone)."""
+        return self.backbone_net(x, train, domains)
+
+    def heads(self, high, low, out_hw, train: bool = False, domains: int = 1) -> DeepLabOutputs:
+        """ASPP + dual-head decoder + align-corners upsample to ``out_hw``."""
+        feat = self.aspp(high, train, domains)
+        x1, boundary, x_bu_feature, x_feature = self.decoder(feat, low, train, domains)
+        mask_logits = resize_bilinear_align_corners(x1, out_hw)
+        boundary_logits = resize_bilinear_align_corners(boundary, out_hw)
         return DeepLabOutputs(
             mask_logits, boundary_logits, feat, x_bu_feature, x_feature, x1, boundary
         )
+
+    def __call__(self, x: jnp.ndarray, train: bool = False, domains: int = 1) -> DeepLabOutputs:
+        high, low = self.features(x, train, domains)
+        return self.heads(high, low, (x.shape[1], x.shape[2]), train, domains)
+
+
+# Backwards-compatible alias used by a few call sites/tests.
+def build_backbone(backbone: str, output_stride: int, norm: str, dtype: Any):
+    return _build_backbone(backbone, output_stride, norm, dtype)

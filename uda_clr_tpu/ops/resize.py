@@ -65,12 +65,13 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_hw: tuple[int, int]) -> jn
     dtype = x.dtype
     ah = jnp.asarray(_align_corners_matrix(h_in, h_out), dtype=dtype)
     aw = jnp.asarray(_align_corners_matrix(w_in, w_out), dtype=dtype)
-    # contract H: [..., h_in, w, c] -> [..., h_out, w, c]. precision=highest
-    # keeps fp32 inputs exactly torch-parity on TPU (no bf16 MXU rounding);
-    # bf16 inputs still take the fast path.
-    x = jnp.einsum("Hh,...hwc->...Hwc", ah, x, precision=jax.lax.Precision.HIGHEST)
+    # contract H: [..., h_in, w, c] -> [..., h_out, w, c]. Precision follows
+    # the global jax_default_matmul_precision: parity runs/tests pin it to
+    # 'highest' (fp32-exact vs torch); production bf16 takes the fast MXU
+    # path.
+    x = jnp.einsum("Hh,...hwc->...Hwc", ah, x)
     # contract W: [..., h, w_in, c] -> [..., h, w_out, c]
-    x = jnp.einsum("Ww,...hwc->...hWc", aw, x, precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("Ww,...hwc->...hWc", aw, x)
     return x
 
 

@@ -38,6 +38,15 @@ def apply_updates(params, updates, lr):
     return jax.tree.map(lambda p, u: p - lr * u, params, updates)
 
 
+def weight_ema(teacher_params, student_params, alpha: float):
+    """Mean-teacher shadow update ``t = alpha*t + (1-alpha)*s``
+    (reference WeightEMA, utils/Utils.py:335-348)."""
+    import jax
+
+    return jax.tree.map(lambda t, s: alpha * t + (1.0 - alpha) * s,
+                        teacher_params, student_params)
+
+
 def gen_lr_schedule(epoch: int, lr0: float, step_epochs: int = 100, rate: float = 0.2) -> float:
     """The reference's quirky non-compounding decay: the LR is re-assigned
     to ``rate * lr0`` at every 100-epoch boundary — i.e. constant ``lr0``

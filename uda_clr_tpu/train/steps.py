@@ -41,8 +41,13 @@ from uda_clr_tpu.ops.resize import resize_nearest
 from uda_clr_tpu.train import optim as optim_lib
 from uda_clr_tpu.train.state import TrainState
 
-_DIS = BoundaryDiscriminator()
-_DIS2 = UncertaintyDiscriminator()
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _discriminators(dtype_name: str):
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    return BoundaryDiscriminator(dtype=dtype), UncertaintyDiscriminator(dtype=dtype)
 
 
 def _split(outs: DeepLabOutputs, b: int):
@@ -63,24 +68,63 @@ def _gen_apply(model, params, stats, x, rng, train, domains, mutable):
     return out, {"batch_stats": stats}
 
 
-def _mc_dropout_forward(model, params, stats, imageT, rng, t_samples: int):
-    """T MC-dropout mask-logit samples of the target batch.
+def _dropout_key(k, impl: str):
+    """Re-wrap a threefry key as a TPU-native RBG key: dropout's random-bit
+    generation is a measurable slice of train-mode forwards (the big
+    128x128x256..305 masks), and the hardware RNG cuts it."""
+    if impl in ("rbg", "unsafe_rbg"):
+        kd = jax.random.key_data(k)
+        return jax.random.wrap_key_data(jnp.concatenate([kd, kd]), impl=impl)
+    return k
 
-    Mirrors Trainer_prototype_full.py:358-368: T/2 train-mode forwards of
-    the 2x-repeated batch (elementwise dropout gives 2 independent samples
-    per forward; BN normalizes with the repeated-batch statistics, which
-    equal the plain batch statistics). vmapped over dropout keys; outputs
-    stop-gradiented (reference runs under no_grad); running stats are NOT
-    drifted (deliberate fix — the reference lets these forwards perturb
-    its running stats).
+
+def _mc_dropout_forward(model, params, stats, imageT, rng, t_samples: int,
+                        fast: bool, rng_impl: str):
+    """T MC-dropout mask-logit samples of the target batch, [T, B, H, W, 2].
+
+    Reference behaviour (Trainer_prototype_full.py:358-368): T/2 train-mode
+    full forwards of the 2x-repeated batch — elementwise dropout gives 2
+    independent samples per forward; BN normalizes with the repeated-batch
+    statistics, which equal the plain batch statistics.
+
+    ``fast`` (default, 'bn' norm only): no backbone in any of the four
+    backbones contains dropout, so the T samples share ONE deterministic
+    backbone pass; only ASPP+decoder+upsample are vmapped over T dropout
+    keys — identical sampling distribution at a fraction of the FLOPs
+    (and XLA dead-code-eliminates the unused boundary upsample).
+    ``fast=False`` reproduces the repeated-batch structure exactly (needed
+    for TransNorm, whose half-batch split sees [T;T] in the reference).
+
+    Outputs are stop-gradiented (reference runs under no_grad); running
+    stats are NOT drifted (deliberate fix — the reference lets these
+    forwards perturb its running stats).
     """
-    b = imageT.shape[0]
+    b, H, W = imageT.shape[0], imageT.shape[1], imageT.shape[2]
+    variables = {"params": params, "batch_stats": stats}
+    if fast:
+        high, low = model.apply(variables, imageT, True, 1, method="features")
+        # Flat T*B repeated batch instead of a vmap over T keys: elementwise
+        # dropout under ONE key gives i.i.d. masks per repeated sample, and
+        # BN moments over T identical copies equal the per-forward moments —
+        # mathematically the same sampling, but XLA sees one large clean
+        # NHWC batch (no strided vmap layouts, one rng call per layer).
+        high_rep = jnp.concatenate([high] * t_samples, axis=0)
+        low_rep = jnp.concatenate([low] * t_samples, axis=0)
+        outs = model.apply(
+            variables, high_rep, low_rep, (H, W), True, 1,
+            method="heads", rngs={"dropout": _dropout_key(rng, rng_impl)},
+        )
+        mc = outs.mask_logits.reshape(t_samples, b, H, W, -1)
+        return jax.lax.stop_gradient(mc)
+
     lanes = max(t_samples // 2, 1)
     x_rep = jnp.concatenate([imageT, imageT], axis=0)
     keys = jax.random.split(rng, lanes)
 
     def one(k):
-        outs, _ = _gen_apply(model, params, stats, x_rep, k, True, 1, mutable=False)
+        outs, _ = _gen_apply(
+            model, params, stats, x_rep, _dropout_key(k, rng_impl), True, 1, mutable=False
+        )
         return outs.mask_logits  # [2B, H, W, 2]
 
     mc = jax.vmap(one)(keys)  # [lanes, 2B, H, W, 2]
@@ -99,6 +143,7 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
     tx_gen = optim_lib.adam_direction(cfg.optim.adam_b1, cfg.optim.adam_b2)
     tx_dis = optim_lib.sgd_direction(cfg.optim.sgd_momentum, cfg.optim.weight_decay)
     compute_dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+    DIS, DIS2 = _discriminators(cfg.model.compute_dtype)
 
     use_adv = method != "baseline"
     use_proto_full = method in ("prototype_full", "prototype_mt") and proto_phase
@@ -108,6 +153,8 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
 
     def step(state: TrainState, batch: dict, lr_gen, lr_dis, epoch):
         rng, k_fwd, k_mc, k_aug, k_augfwd, k_teacher = jax.random.split(state.rng, 6)
+        k_fwd = _dropout_key(k_fwd, mcfg.rng_impl)
+        k_augfwd = _dropout_key(k_augfwd, mcfg.rng_impl)
         image_s = batch["image_s"].astype(compute_dtype)
         map_s = batch["map_s"]
         boundary_s = batch["boundary_s"]
@@ -124,7 +171,9 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
         mc_logits = None
         if use_proto_full and mcfg.retrify_pseudo:
             mc_logits = _mc_dropout_forward(
-                model, state.gen_params, state.gen_stats, image_t, k_mc, mcfg.mc_samples
+                model, state.gen_params, state.gen_stats, image_t, k_mc,
+                mcfg.mc_samples, fast=mcfg.mc_fast and model.norm == "bn",
+                rng_impl=mcfg.rng_impl,
             ).astype(jnp.float32)
 
         # ---- teacher forward (mean teacher) ----
@@ -159,8 +208,14 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
             if use_adv:
                 o_t = out_t.mask_logits.astype(jnp.float32)
                 bd_t = out_t.boundary_logits.astype(jnp.float32)
-                d_b = _DIS.apply({"params": state.dis_params}, jax.nn.sigmoid(bd_t))
-                d_u = _DIS2.apply({"params": state.dis2_params}, L.entropy_map(o_t))
+                d_b = DIS.apply(
+                    {"params": state.dis_params},
+                    jax.nn.sigmoid(bd_t).astype(compute_dtype),
+                ).astype(jnp.float32)
+                d_u = DIS2.apply(
+                    {"params": state.dis2_params},
+                    L.entropy_map(o_t).astype(compute_dtype),
+                ).astype(jnp.float32)
                 loss_adv = L.adversarial_generator_loss(d_b, d_u, mcfg.adv_weight)
                 loss = loss + loss_adv
                 m["loss_adv"] = loss_adv
@@ -325,20 +380,24 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
         dis_opt, dis2_opt = state.dis_opt, state.dis2_opt
         if use_adv:
             out_s, out_t = aux["out_s"], aux["out_t"]
-            sig_bs = jax.nn.sigmoid(out_s.boundary_logits.astype(jnp.float32))
-            sig_bt = jax.nn.sigmoid(out_t.boundary_logits.astype(jnp.float32))
-            ent_s = L.entropy_map(out_s.mask_logits.astype(jnp.float32))
-            ent_t = L.entropy_map(out_t.mask_logits.astype(jnp.float32))
+            sig_bs = jax.nn.sigmoid(out_s.boundary_logits.astype(jnp.float32)).astype(compute_dtype)
+            sig_bt = jax.nn.sigmoid(out_t.boundary_logits.astype(jnp.float32)).astype(compute_dtype)
+            ent_s = L.entropy_map(out_s.mask_logits.astype(jnp.float32)).astype(compute_dtype)
+            ent_t = L.entropy_map(out_t.mask_logits.astype(jnp.float32)).astype(compute_dtype)
 
             def dis_loss_fn(p):
                 return L.discriminator_loss(
-                    _DIS.apply({"params": p}, sig_bs), True
-                ) + L.discriminator_loss(_DIS.apply({"params": p}, sig_bt), False)
+                    DIS.apply({"params": p}, sig_bs).astype(jnp.float32), True
+                ) + L.discriminator_loss(
+                    DIS.apply({"params": p}, sig_bt).astype(jnp.float32), False
+                )
 
             def dis2_loss_fn(p):
                 return L.discriminator_loss(
-                    _DIS2.apply({"params": p}, ent_s), True
-                ) + L.discriminator_loss(_DIS2.apply({"params": p}, ent_t), False)
+                    DIS2.apply({"params": p}, ent_s).astype(jnp.float32), True
+                ) + L.discriminator_loss(
+                    DIS2.apply({"params": p}, ent_t).astype(jnp.float32), False
+                )
 
             loss_d, dis_grads = jax.value_and_grad(dis_loss_fn)(state.dis_params)
             loss_d2, dis2_grads = jax.value_and_grad(dis2_loss_fn)(state.dis2_params)
@@ -362,9 +421,8 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
         # ---- teacher EMA (after student step, Trainer_MT semantics) ----
         teacher_params, teacher_stats = state.teacher_params, state.teacher_stats
         if use_teacher:
-            a = mcfg.ema_decay
-            teacher_params = jax.tree.map(
-                lambda t, s: a * t + (1 - a) * s, state.teacher_params, gen_params
+            teacher_params = optim_lib.weight_ema(
+                state.teacher_params, gen_params, mcfg.ema_decay
             )
             teacher_stats = aux["stats"]
 

@@ -127,10 +127,45 @@ class Trainer:
         self.best_epoch = -1
         self.last_throughput = 0.0
 
+        if cfg.run.initial_resume:
+            self._initial_resume(cfg.run.initial_resume)
         if cfg.run.resume:
             self._resume(cfg.run.resume)
 
     # ------------------------------------------------------------------
+    def _initial_resume(self, path: str):
+        """Warm-start the generator (and discriminators when present) from a
+        pre-trained checkpoint — the reference's BEAL bootstrap
+        (``--initial_resume``, train_use_fix_initial.py:183-199). Accepts a
+        reference torch ``.pth(.tar)`` (converted via uda_clr_tpu.convert,
+        filtered-merge semantics) or an orbax checkpoint of this framework.
+        """
+        from uda_clr_tpu.convert.torch_import import load_reference_checkpoint, merge_pretrained
+
+        state = jax.device_get(self.state)
+        if path.endswith((".pth", ".pth.tar")):
+            conv = load_reference_checkpoint(path, self.cfg.model.output_stride)
+            if "gen" in conv:
+                params, stats = conv["gen"]
+                new_params, n1 = merge_pretrained(state.gen_params, params)
+                new_stats, n2 = merge_pretrained(state.gen_stats, stats)
+                state = state.replace(gen_params=new_params, gen_stats=new_stats)
+                print(f"initial_resume: merged {n1} param / {n2} stat tensors from {path}")
+            if "dis" in conv:
+                d, _ = merge_pretrained(state.dis_params, conv["dis"])
+                state = state.replace(dis_params=d)
+            if "dis2" in conv:
+                d, _ = merge_pretrained(state.dis2_params, conv["dis2"])
+                state = state.replace(dis2_params=d)
+        else:
+            d, tag = os.path.split(path.rstrip("/"))
+            restored, _ = ckpt_lib.restore_checkpoint(d, tag, state)
+            state = state.replace(
+                gen_params=restored.gen_params, gen_stats=restored.gen_stats,
+                dis_params=restored.dis_params, dis2_params=restored.dis2_params,
+            )
+        self.state = jax.device_put(state, self._replicated)
+
     def _resume(self, tag_or_dir: str):
         if os.path.isdir(tag_or_dir) and ckpt_lib.latest_checkpoint(tag_or_dir) is not None:
             ckpt_dir = tag_or_dir
