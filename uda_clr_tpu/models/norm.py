@@ -43,6 +43,20 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+# Moment-computation backend: 'xla' (convert-reduce fusion) or 'pallas'
+# (uda_clr_tpu.ops.pallas.moments streaming kernel). Global because the norm
+# module is instantiated ~60x through deep constructor chains; read at trace
+# time, so flip it before jitting (bench.py / trainer do this on TPU).
+_MOMENTS_IMPL = "xla"
+_PALLAS_MIN_ELEMENTS = 1 << 22  # small tensors aren't worth a kernel launch
+
+
+def set_moments_impl(impl: str) -> None:
+    global _MOMENTS_IMPL
+    assert impl in ("xla", "pallas"), impl
+    _MOMENTS_IMPL = impl
+
+
 def _batch_moments(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, int]:
     """Mean and biased variance over all axes except the trailing channel.
 
@@ -55,6 +69,10 @@ def _batch_moments(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, int]:
     n = 1
     for a in reduce_axes:
         n *= x.shape[a]
+    if _MOMENTS_IMPL == "pallas" and n * x.shape[-1] >= _PALLAS_MIN_ELEMENTS:
+        from uda_clr_tpu.ops.pallas.moments import batch_moments_pallas
+
+        return batch_moments_pallas(x)
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=reduce_axes)
     var = jnp.mean(jnp.square(x32), axis=reduce_axes) - jnp.square(mean)
