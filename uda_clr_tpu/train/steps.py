@@ -385,19 +385,27 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
             ent_s = L.entropy_map(out_s.mask_logits.astype(jnp.float32)).astype(compute_dtype)
             ent_t = L.entropy_map(out_t.mask_logits.astype(jnp.float32)).astype(compute_dtype)
 
+            # One fused S‖T discriminator pass per D: with equal halves,
+            # 2 * BCE(concat, [1;0]) == BCE(S,1) + BCE(T,0) exactly
+            # (identical value and gradients to the reference's two passes,
+            # Trainer_prototype_full.py:479-513) at twice the MXU batch.
             def dis_loss_fn(p):
-                return L.discriminator_loss(
-                    DIS.apply({"params": p}, sig_bs).astype(jnp.float32), True
-                ) + L.discriminator_loss(
-                    DIS.apply({"params": p}, sig_bt).astype(jnp.float32), False
+                out = DIS.apply(
+                    {"params": p}, jnp.concatenate([sig_bs, sig_bt], axis=0)
+                ).astype(jnp.float32)
+                labels = jnp.concatenate(
+                    [jnp.ones_like(out[:b]), jnp.zeros_like(out[b:])], axis=0
                 )
+                return 2.0 * L.bce_with_logits(out, labels)
 
             def dis2_loss_fn(p):
-                return L.discriminator_loss(
-                    DIS2.apply({"params": p}, ent_s).astype(jnp.float32), True
-                ) + L.discriminator_loss(
-                    DIS2.apply({"params": p}, ent_t).astype(jnp.float32), False
+                out = DIS2.apply(
+                    {"params": p}, jnp.concatenate([ent_s, ent_t], axis=0)
+                ).astype(jnp.float32)
+                labels = jnp.concatenate(
+                    [jnp.ones_like(out[:b]), jnp.zeros_like(out[b:])], axis=0
                 )
+                return 2.0 * L.bce_with_logits(out, labels)
 
             loss_d, dis_grads = jax.value_and_grad(dis_loss_fn)(state.dis_params)
             loss_d2, dis2_grads = jax.value_and_grad(dis2_loss_fn)(state.dis2_params)
