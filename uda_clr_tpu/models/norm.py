@@ -75,7 +75,11 @@ def _batch_moments(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, int]:
         return batch_moments_pallas(x)
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=reduce_axes)
-    var = jnp.mean(jnp.square(x32), axis=reduce_axes) - jnp.square(mean)
+    # E[x^2] - E[x]^2 cancels catastrophically for near-constant channels
+    # (flat image regions) and can go slightly NEGATIVE in fp32, which
+    # would NaN the rsqrt; clamp at 0 (torch's two-pass var is >= 0 by
+    # construction).
+    var = jnp.maximum(jnp.mean(jnp.square(x32), axis=reduce_axes) - jnp.square(mean), 0.0)
     return mean, var, n
 
 

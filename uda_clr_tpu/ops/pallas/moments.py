@@ -72,5 +72,5 @@ def batch_moments_pallas(x: jnp.ndarray):
         n *= a
     s, sq = channel_sums(x)
     mean = s / n
-    var = sq / n - jnp.square(mean)
+    var = jnp.maximum(sq / n - jnp.square(mean), 0.0)  # cancellation guard
     return mean, var, n

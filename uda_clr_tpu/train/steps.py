@@ -199,7 +199,9 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
 
             o_s = out_s.mask_logits.astype(jnp.float32)
             b_s = out_s.boundary_logits.astype(jnp.float32)
-            loss_seg = L.bce_probs(jax.nn.sigmoid(o_s), map_s) + L.mse(
+            # BCELoss-on-sigmoid value (reference :292) with the bounded
+            # logits-space gradient — see losses.bce_sigmoid_stable.
+            loss_seg = L.bce_sigmoid_stable(o_s, map_s) + L.mse(
                 jax.nn.sigmoid(b_s), boundary_s
             )
             loss = loss_seg
@@ -345,7 +347,7 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
                     model, gen_params, state.gen_stats, x_aug, k_augfwd, True, 1, mutable=False
                 )
                 o_aug = outs_aug.mask_logits.astype(jnp.float32)
-                per_px = L.bce_probs_elementwise(jax.nn.sigmoid(o_aug), pseudo)
+                per_px = L.bce_sigmoid_stable_elementwise(o_aug, pseudo)
                 loss_aug = jnp.sum(per_px * conf) / (jnp.sum(conf) + 1e-7)
                 loss = loss + mcfg.aug_weight * loss_aug
                 m["loss_aug"] = loss_aug

@@ -238,7 +238,11 @@ class Trainer:
         for (iteration, _), m in zip(pending, fetched):
             m = {k: float(v) for k, v in m.items()}
             if not np.isfinite(m.get("loss_all", 0.0)):
-                raise ValueError("loss is nan while training")
+                bad = sorted(k for k, v in m.items() if not np.isfinite(v))
+                raise ValueError(
+                    f"loss is nan while training (non-finite: {bad}; "
+                    f"iteration {iteration}; metrics: {m})"
+                )
             for k, v in m.items():
                 sums[k] = sums.get(k, 0.0) + v
                 self.writer.add_scalar(f"train/{k}", v, iteration)
