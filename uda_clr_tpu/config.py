@@ -93,6 +93,7 @@ class RunConfig:
     initial_resume: Optional[str] = None  # BEAL warm-start checkpoint
     mesh_shape: Optional[tuple] = None  # e.g. (8,) data-parallel; None = all devices
     profile: bool = False
+    save_val_images: bool = False  # joint [img|gt|cup|disc] strips per validation
 
 
 @dataclass

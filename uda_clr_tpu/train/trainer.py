@@ -267,10 +267,17 @@ class Trainer:
         tot = {"loss": 0.0, "cup_dice": 0.0, "disc_dice": 0.0, "cup_pa": 0.0,
                "disc_pa": 0.0, "cup_iou": 0.0, "disc_iou": 0.0}
         n_batches = 0
+        val_strips = []
         for batch in self.loader_val.epoch(0):
             logits, _, loss = self._eval_step(variables, batch["image"], batch["map"])
             logits = np.asarray(logits)
             loss = float(loss)
+            if self.cfg.run.save_val_images and len(val_strips) < 8:
+                from uda_clr_tpu.utils.visualize import joint_val_image
+
+                probs = 1.0 / (1.0 + np.exp(-logits[0]))
+                img01 = (batch["image"][0] + 1.0) * 0.5
+                val_strips.append(joint_val_image(img01, probs, batch["map"][0]))
             if not np.isfinite(loss):
                 raise ValueError("loss is nan while validating")
             cup_d, disc_d = dice_coeff_2label(logits, batch["map"])
@@ -285,6 +292,11 @@ class Trainer:
             n_batches += 1
         for k in tot:
             tot[k] /= max(n_batches, 1)
+
+        if val_strips:
+            from uda_clr_tpu.utils.visualize import save_val_img
+
+            save_val_img(self.cfg.run.out_dir, self.epoch, val_strips)
 
         step = self.epoch * len(self.loader_s)
         self.writer.add_scalar("val_data/loss_CE", tot["loss"], step)
