@@ -89,11 +89,15 @@ def _mc_dropout_forward(model, params, stats, imageT, rng, t_samples: int,
 
     ``fast`` (default, 'bn' norm only): no backbone in any of the four
     backbones contains dropout, so the T samples share ONE deterministic
-    backbone pass; only ASPP+decoder+upsample are vmapped over T dropout
-    keys — identical sampling distribution at a fraction of the FLOPs
-    (and XLA dead-code-eliminates the unused boundary upsample).
-    ``fast=False`` reproduces the repeated-batch structure exactly (needed
-    for TransNorm, whose half-batch split sees [T;T] in the reference).
+    backbone pass; only ASPP+decoder+upsample run per-sample, as a single
+    flat T*B batch under one dropout key (i.i.d. masks per repeated
+    sample) at a fraction of the FLOPs. One documented approximation: for
+    norm layers *downstream of a dropout layer*, train-mode batch stats
+    mix all T dropout samples (the reference's 2x-repeated forwards mix 2;
+    stats are over B*H*W pixels either way, so the difference is noise on
+    the std-map). ``fast=False`` reproduces the reference's repeated-batch
+    structure exactly (and is required for TransNorm, whose half-batch
+    split sees [T;T] in the reference).
 
     Outputs are stop-gradiented (reference runs under no_grad); running
     stats are NOT drifted (deliberate fix — the reference lets these
