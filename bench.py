@@ -21,6 +21,7 @@ vs_baseline reported here is measured / 20 (i.e. >3.0 meets the target).
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -78,16 +79,16 @@ def main():
     # that depends on the full step chain — on this environment's tunneled
     # TPU relay, block_until_ready returns before device execution
     # completes, so a data-dependent fetch is the only sound barrier.
-    print("# compiling...", flush=True)
+    print("# compiling...", file=sys.stderr, flush=True)
     t0 = time.time()
     state, metrics = step(state, data, 1e-3, 2.5e-5, 30)
     float(metrics["loss_all"])
     compile_s = time.time() - t0
-    print(f"# compiled in {compile_s:.1f}s; warmup...", flush=True)
+    print(f"# compiled in {compile_s:.1f}s; warmup...", file=sys.stderr, flush=True)
     for _ in range(2):
         state, metrics = step(state, data, 1e-3, 2.5e-5, 30)
     float(metrics["loss_all"])
-    print("# timing...", flush=True)
+    print("# timing...", file=sys.stderr, flush=True)
 
     iters = 20
     t0 = time.time()
@@ -110,6 +111,7 @@ def main():
     print(
         f"# devices={n_dev} mesh_data={n_data} compile={compile_s:.1f}s "
         f"step={dt / iters * 1000:.1f}ms loss={float(metrics['loss_all']):.4f}",
+        file=sys.stderr,
         flush=True,
     )
 
