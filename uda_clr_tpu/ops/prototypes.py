@@ -45,11 +45,17 @@ class Prototypes(NamedTuple):
         return Prototypes(x[0], x[1], x[2], x[3])
 
 
-def _masked_centroid(feature, mask, weight=None):
-    """sum(feature * mask * weight) / sum(mask * weight) over (B,H,W)."""
+def _masked_sums(feature, mask, weight=None):
+    """(sum(feature * mask * weight), sum(mask * weight)) over (B,H,W)."""
     w = mask if weight is None else mask * weight
     num = jnp.sum(feature * w, axis=(0, 1, 2))
     den = jnp.sum(w, axis=(0, 1, 2))
+    return num, den
+
+
+def _masked_centroid(feature, mask, weight=None):
+    """sum(feature * mask * weight) / sum(mask * weight) over (B,H,W)."""
+    num, den = _masked_sums(feature, mask, weight)
     return num / (den + _EPS)
 
 
@@ -95,6 +101,19 @@ def gen_prototype_retrify(
     ``std < 0.04``; centroids weighted by both the confidence mask and the
     mean MC probability (object) / 1-probability (background).
     """
+    masks, weights, std_map, conf = _rectify_masks(
+        mask_before, feature, mc_logits, pseudo_threshold, std_threshold
+    )
+    protos = Prototypes(
+        *(_masked_centroid(feature, m, w) for m, w in zip(masks, weights))
+    )
+    return RectifiedPrototypes(protos, std_map, conf)
+
+
+def _rectify_masks(mask_before, feature, mc_logits, pseudo_threshold, std_threshold):
+    """Shared preamble of the two ``*_retrify`` variants: per-region
+    (pseudo-label x confidence) masks and mean-MC-probability weights, in
+    Prototypes field order (cup_obj, disc_obj, cup_bck, disc_bck)."""
     h, w = feature.shape[1], feature.shape[2]
     preds_soft = jax.nn.sigmoid(mc_logits / 2.0)
     if mc_logits.shape[0] > 1:
@@ -108,18 +127,55 @@ def gen_prototype_retrify(
     pseudo = (jax.nn.sigmoid(mask_before) > pseudo_threshold).astype(feature.dtype)
     conf = (std_small < std_threshold).astype(feature.dtype)
 
-    cup_obj_m = pseudo[..., 0:1] * conf[..., 0:1]
-    disc_obj_m = pseudo[..., 1:2] * conf[..., 1:2]
-    cup_bck_m = (1.0 - pseudo[..., 0:1]) * conf[..., 0:1]
-    disc_bck_m = (1.0 - pseudo[..., 1:2]) * conf[..., 1:2]
-
-    protos = Prototypes(
-        cup_obj=_masked_centroid(feature, cup_obj_m, prediction_small[..., 0:1]),
-        disc_obj=_masked_centroid(feature, disc_obj_m, prediction_small[..., 1:2]),
-        cup_bck=_masked_centroid(feature, cup_bck_m, 1.0 - prediction_small[..., 0:1]),
-        disc_bck=_masked_centroid(feature, disc_bck_m, 1.0 - prediction_small[..., 1:2]),
+    masks = (
+        pseudo[..., 0:1] * conf[..., 0:1],
+        pseudo[..., 1:2] * conf[..., 1:2],
+        (1.0 - pseudo[..., 0:1]) * conf[..., 0:1],
+        (1.0 - pseudo[..., 1:2]) * conf[..., 1:2],
     )
-    return RectifiedPrototypes(protos, std_map, conf)
+    weights = (
+        prediction_small[..., 0:1],
+        prediction_small[..., 1:2],
+        1.0 - prediction_small[..., 0:1],
+        1.0 - prediction_small[..., 1:2],
+    )
+    return masks, weights, std_map, conf
+
+
+def gen_prototype_src_trg_retrify(
+    pred_s: jnp.ndarray,  # [B, h, w, 2] soft source GT masks (feature res)
+    feat_s: jnp.ndarray,  # [B, h, w, C]
+    mask_before_t: jnp.ndarray,  # [B, h, w, 2] target mask logits (feature res)
+    feat_t: jnp.ndarray,  # [B, h, w, C]
+    mc_logits: jnp.ndarray,  # [T, B, H, W, 2] MC-dropout mask logits (full res)
+    pseudo_threshold: float = 0.75,
+    std_threshold: float = 0.04,
+) -> Prototypes:
+    """Joint source+target MC-rectified centroids (Utils.py:227-311).
+
+    Source contributes plain soft-GT-weighted sums; target contributes
+    pseudo-label x (std<thr) masked sums weighted by the mean MC
+    probability; numerators and mask masses are summed across domains
+    *before* the division (Utils.py:306-314), so each centroid is the
+    pixel-mass-weighted blend of the two domains. The reference's only call
+    site is commented out (Trainer_prototype_full.py:400-430); provided for
+    API completeness and enabled nowhere by default.
+    """
+    pred_regions = (
+        pred_s[..., 0:1],
+        pred_s[..., 1:2],
+        1.0 - pred_s[..., 0:1],
+        1.0 - pred_s[..., 1:2],
+    )
+    masks_t, weights_t, _, _ = _rectify_masks(
+        mask_before_t, feat_t, mc_logits, pseudo_threshold, std_threshold
+    )
+    out = []
+    for m_s, m_t, w_t in zip(pred_regions, masks_t, weights_t):
+        num_s, den_s = _masked_sums(feat_s, m_s)
+        num_t, den_t = _masked_sums(feat_t, m_t, w_t)
+        out.append((num_s + num_t) / (den_s + den_t + _EPS))
+    return Prototypes(*out)
 
 
 def ema_update(bank: Prototypes, current: Prototypes, decay: float) -> Prototypes:
