@@ -24,6 +24,10 @@ def build_config(argv=None) -> Config:
     p = argparse.ArgumentParser(
         formatter_class=argparse.ArgumentDefaultsHelpFormatter, description=__doc__
     )
+    p.add_argument("--config", default=None,
+                   help="YAML Config file (e.g. configs/refuge_to_rimone.yaml); "
+                        "flags given alongside it are ignored except --data-dir/"
+                        "--out/--resume/--initial-resume overrides")
     p.add_argument("--method", default="prototype_full",
                    choices=["baseline", "adversarial", "prototype", "prototype_full",
                             "prototype_mt", "mean_teacher"])
@@ -61,6 +65,19 @@ def build_config(argv=None) -> Config:
     p.add_argument("--seed", type=int, default=1337)
     p.add_argument("--num-workers", type=int, default=2)
     args = p.parse_args(argv)
+
+    if args.config:
+        with open(args.config) as f:
+            cfg = Config.from_yaml(f.read())
+        if args.data_dir:
+            cfg.data.data_dir = args.data_dir
+        if args.out is not None:
+            cfg.run.out_dir = args.out
+        if args.resume is not None:
+            cfg.run.resume = args.resume
+        if args.initial_resume is not None:
+            cfg.run.initial_resume = args.initial_resume
+        return cfg
 
     cfg = Config()
     cfg.model.backbone = args.backbone

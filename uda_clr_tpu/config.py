@@ -94,6 +94,7 @@ class RunConfig:
     mesh_shape: Optional[tuple] = None  # e.g. (8,) data-parallel; None = all devices
     profile: bool = False
     save_val_images: bool = False  # joint [img|gt|cup|disc] strips per validation
+    viz_every: int = 30  # train-time TB image grids every N iterations (0 = off)
 
 
 @dataclass

@@ -7,7 +7,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from uda_clr_tpu.models.layers import Conv2d
+from uda_clr_tpu.models.layers import Conv2d, TpuDropout
 from uda_clr_tpu.models.norm import DomainNorm2d
 from uda_clr_tpu.ops.resize import resize_bilinear_align_corners
 
@@ -66,5 +66,5 @@ class ASPP(nn.Module):
         h = Conv2d(256, 1, 1, 0, use_bias=False, dtype=self.dtype, name="proj_conv")(h)
         h = DomainNorm2d(256, self.norm, dtype=self.dtype, name="proj_bn")(h, train, domains)
         h = nn.relu(h)
-        h = nn.Dropout(0.5, name="dropout")(h, deterministic=not train)
+        h = TpuDropout(0.5, name="dropout")(h, deterministic=not train)
         return h

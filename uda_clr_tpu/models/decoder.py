@@ -16,7 +16,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from uda_clr_tpu.models.layers import Conv2d
+from uda_clr_tpu.models.layers import Conv2d, TpuDropout
 from uda_clr_tpu.models.norm import DomainNorm2d
 from uda_clr_tpu.ops.resize import resize_bilinear_align_corners
 
@@ -40,11 +40,11 @@ class Decoder(nn.Module):
         b = Conv2d(256, 3, 1, 1, use_bias=False, dtype=self.dtype, name="bound_conv1")(x_bu_feature)
         b = DomainNorm2d(256, self.norm, dtype=self.dtype, name="bound_bn1")(b, train, domains)
         b = nn.relu(b)
-        b = nn.Dropout(0.5, name="bound_drop1")(b, deterministic=not train)
+        b = TpuDropout(0.5, name="bound_drop1")(b, deterministic=not train)
         b = Conv2d(256, 3, 1, 1, use_bias=False, dtype=self.dtype, name="bound_conv2")(b)
         b = DomainNorm2d(256, self.norm, dtype=self.dtype, name="bound_bn2")(b, train, domains)
         b = nn.relu(b)
-        b = nn.Dropout(0.1, name="bound_drop2")(b, deterministic=not train)
+        b = TpuDropout(0.1, name="bound_drop2")(b, deterministic=not train)
         boundary = Conv2d(1, 1, 1, 0, use_bias=True, dtype=self.dtype, name="bound_out")(b)
 
         x_feature = jnp.concatenate([x_bu_feature, boundary], axis=-1)  # [B,128,128,305]
@@ -52,7 +52,7 @@ class Decoder(nn.Module):
         # mask head: BN(305)+ReLU+Dropout(0.1)+1x1 (decoder.py:23-32)
         h = DomainNorm2d(305, self.norm, dtype=self.dtype, name="mask_bn")(x_feature, train, domains)
         h = nn.relu(h)
-        h = nn.Dropout(0.1, name="mask_drop")(h, deterministic=not train)
+        h = TpuDropout(0.1, name="mask_drop")(h, deterministic=not train)
         x1 = Conv2d(self.num_classes, 1, 1, 0, use_bias=True, dtype=self.dtype, name="mask_out")(h)
 
         return x1, boundary, x_bu_feature, x_feature

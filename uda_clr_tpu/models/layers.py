@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -65,6 +66,46 @@ def fixed_padding(x: jnp.ndarray, kernel_size: int, dilation: int) -> jnp.ndarra
     beg = pad_total // 2
     end = pad_total - beg
     return jnp.pad(x, [(0, 0), (beg, end), (beg, end), (0, 0)])
+
+
+# Dropout backend: 'auto' = fused Pallas kernel on TPU, XLA bernoulli
+# elsewhere; 'xla' / 'pallas' force one (bench A/B and tests). Global for
+# the same reason as models/norm.py's moments switch: read at trace time.
+_DROPOUT_IMPL = "auto"
+
+
+def set_dropout_impl(impl: str) -> None:
+    global _DROPOUT_IMPL
+    assert impl in ("auto", "xla", "pallas"), impl
+    _DROPOUT_IMPL = impl
+
+
+class TpuDropout(nn.Module):
+    """Drop-in for ``nn.Dropout`` (same semantics: zero with prob ``rate``,
+    scale survivors by 1/keep) that fuses PRNG + mask + scale into one
+    Pallas pass on TPU — XLA's lowering materializes 4 random bytes per
+    element through HBM (see ops/pallas/dropout.py)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        if deterministic or self.rate == 0.0:
+            return x
+        key = self.make_rng("dropout")
+        from uda_clr_tpu.ops.pallas.dropout import (
+            dropout_pallas, dropout_supported, seed_from_key,
+        )
+
+        impl = _DROPOUT_IMPL
+        use_pallas = impl == "pallas" or (
+            impl == "auto" and jax.default_backend() == "tpu"
+        )
+        if use_pallas and dropout_supported(x.shape):
+            return dropout_pallas(x, seed_from_key(key), self.rate)
+        keep = 1.0 - self.rate
+        mask = jax.random.bernoulli(key, keep, x.shape)
+        return jnp.where(mask, x / keep, 0).astype(x.dtype)
 
 
 def relu6(x: jnp.ndarray) -> jnp.ndarray:

@@ -203,6 +203,14 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
 
             o_s = out_s.mask_logits.astype(jnp.float32)
             b_s = out_s.boundary_logits.astype(jnp.float32)
+            # first-image probability maps for the reference's every-30-iter
+            # tensorboard grids (Trainer_prototype_full.py:307-325,519-575);
+            # sliced ON DEVICE so the trainer only fetches a few [H,W,2]
+            # tiles for the iterations it actually logs.
+            viz = {
+                "pred_s": jax.nn.sigmoid(o_s[0]),
+                "pred_b_s": jax.nn.sigmoid(b_s[0]),
+            }
             # BCELoss-on-sigmoid value (reference :292) with the bounded
             # logits-space gradient — see losses.bce_sigmoid_stable.
             loss_seg = L.bce_sigmoid_stable(o_s, map_s) + L.mse(
@@ -226,6 +234,8 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
                 loss = loss + loss_adv
                 m["loss_adv"] = loss_adv
                 aux["out_t"] = jax.tree.map(jax.lax.stop_gradient, out_t)
+                viz["pred_t"] = jax.nn.sigmoid(o_t[0])
+                viz["bnd_t_raw"] = bd_t[0]  # logged unsigmoided (:534-535)
 
             if use_proto_full:
                 feat_hw = (out_s.x_feature.shape[1], out_s.x_feature.shape[2])
@@ -252,6 +262,8 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
                         mcfg.std_threshold,
                     )
                     cur_trg = rect.prototypes
+                    viz["std_t"] = rect.std_map[0]
+                    viz["conf_t"] = rect.conf_mask[0]
                 else:
                     cur_trg = P.gen_prototype(
                         jax.nn.sigmoid(out_t.mask_before.astype(jnp.float32)),
@@ -370,6 +382,7 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
 
             aux["metrics"] = m
             aux["out_s"] = jax.tree.map(jax.lax.stop_gradient, out_s)
+            aux["viz"] = jax.tree.map(jax.lax.stop_gradient, viz)
             return loss, aux
 
         (loss_all, aux), gen_grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
@@ -377,6 +390,7 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
         )
         metrics.update(aux["metrics"])
         metrics["loss_all"] = loss_all
+        metrics["_viz"] = aux["viz"]  # popped by the trainer before scalar fetch
 
         # ---- generator update (Adam, torch semantics) ----
         gen_updates, gen_opt = tx_gen.update(gen_grads, state.gen_opt, state.gen_params)
@@ -466,12 +480,20 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
 def make_eval_step(model: DeepLab, compute_dtype=jnp.float32):
     """Eval forward + on-device BCE-with-logits val loss
     (Trainer_prototype_full.py:133-135); metric binarization stays
-    host-side for bit-parity with the reference's numpy pipeline."""
+    host-side for bit-parity with the reference's numpy pipeline.
+
+    The loss is returned PER IMAGE ([B]) so the trainer can pad the final
+    partial validation batch up to the full batch size (one compiled shape,
+    no re-jit per validation) and average only over the real images —
+    identical value to the reference's per-batch mean since every image has
+    the same pixel count."""
 
     def step(variables, image, map_t):
         outs = model.apply(variables, image.astype(compute_dtype), train=False)
         logits = outs.mask_logits.astype(jnp.float32)
-        loss = L.bce_with_logits(logits, map_t)
-        return logits, outs.boundary_logits.astype(jnp.float32), loss
+        per_image = jnp.mean(
+            L.bce_with_logits_elementwise(logits, map_t), axis=(1, 2, 3)
+        )
+        return logits, outs.boundary_logits.astype(jnp.float32), per_image
 
     return jax.jit(step)

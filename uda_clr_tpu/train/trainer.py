@@ -223,11 +223,18 @@ class Trainer:
 
         self.timer.start()
         pending = []
+        viz_pending = []
+        viz_every = cfg.run.viz_every
         for batch_idx, batch_s in enumerate(self.loader_s.epoch(self.epoch)):
             self.iteration = batch_idx + self.epoch * len(self.loader_s)
             batch_t = next(self._target_iter) if needs_target else None
             batch = self._device_batch(batch_s, batch_t)
             self.state, metrics = step(self.state, batch, lr_gen, lr_dis, self.epoch)
+            viz = metrics.pop("_viz", None)
+            if viz is not None and viz_every and self.iteration % viz_every == 0:
+                # keep the device tiles + the host copies of the raw batch;
+                # fetched/written after the epoch, off the step's hot path
+                viz_pending.append((self.iteration, batch_s, batch_t, viz))
             pending.append((self.iteration, metrics))
             self.timer.add_images(batch_s["image"].shape[0])
 
@@ -248,6 +255,8 @@ class Trainer:
                 self.writer.add_scalar(f"train/{k}", v, iteration)
             rows.append({"epoch": self.epoch, "iteration": iteration, **m})
         self.csv.write_train_rows(rows)
+        for iteration, b_s, b_t, viz in viz_pending:
+            self._write_train_images(iteration, b_s, b_t, jax.device_get(viz))
 
         dt, ips = self.timer.stop()
         self.last_throughput = ips
@@ -262,16 +271,55 @@ class Trainer:
         return means
 
     # ------------------------------------------------------------------
+    def _write_train_images(self, iteration, batch_s, batch_t, viz):
+        """The reference's every-30-iterations tensorboard image grids
+        (Trainer_prototype_full.py:307-325,519-575): first image of the
+        batch, per-channel, min-max normalized. GT/image tiles come from the
+        host batch; prediction/std/confidence tiles from the step's device
+        viz slices. Tags match the reference's."""
+        w = self.writer
+        w.add_image("DomainS/image", (batch_s["image"][0] + 1.0) * 0.5, iteration)
+        w.add_image("DomainS/target_cup", batch_s["map"][0][..., 0], iteration)
+        w.add_image("DomainS/target_disc", batch_s["map"][0][..., 1], iteration)
+        w.add_image("DomainS/target_boundary", batch_s["boundary"][0][..., 0], iteration)
+        w.add_image("DomainS/prediction_cup", viz["pred_s"][..., 0], iteration)
+        w.add_image("DomainS/prediction_disc", viz["pred_s"][..., 1], iteration)
+        w.add_image("DomainS/prediction_boundary", viz["pred_b_s"][..., 0], iteration)
+        if batch_t is not None and "pred_t" in viz:
+            w.add_image("DomainT/image", (batch_t["image"][0] + 1.0) * 0.5, iteration)
+            if "map" in batch_t:
+                w.add_image("DomainT/target_cup", batch_t["map"][0][..., 0], iteration)
+                w.add_image("DomainT/target_disc", batch_t["map"][0][..., 1], iteration)
+            w.add_image("DomainT/prediction_cup", viz["pred_t"][..., 0], iteration)
+            w.add_image("DomainT/prediction_disc", viz["pred_t"][..., 1], iteration)
+            w.add_image("DomainT/boundaryT", viz["bnd_t_raw"][..., 0], iteration)
+        if "std_t" in viz:
+            w.add_image("DomainT/target_cup_std_map", viz["std_t"][..., 0], iteration)
+            w.add_image("DomainT/target_disc_std_map", viz["std_t"][..., 1], iteration)
+            w.add_image("DomainT/mask_0", viz["conf_t"][..., 0], iteration)
+            w.add_image("DomainT/mask_1", viz["conf_t"][..., 1], iteration)
+
+    # ------------------------------------------------------------------
     def validate(self):
         variables = {"params": self.state.gen_params, "batch_stats": self.state.gen_stats}
         tot = {"loss": 0.0, "cup_dice": 0.0, "disc_dice": 0.0, "cup_pa": 0.0,
                "disc_pa": 0.0, "cup_iou": 0.0, "disc_iou": 0.0}
         n_batches = 0
         val_strips = []
+        bs = self.cfg.data.batch_size
         for batch in self.loader_val.epoch(0):
-            logits, _, loss = self._eval_step(variables, batch["image"], batch["map"])
-            logits = np.asarray(logits)
-            loss = float(loss)
+            # pad the final partial batch up to the compiled batch size
+            # (repeat the last image) so eval keeps ONE jitted shape; the
+            # pad images are masked out of loss and metrics below.
+            n_valid = batch["image"].shape[0]
+            image, map_t = batch["image"], batch["map"]
+            if n_valid < bs:
+                reps = [1] * (n_valid - 1) + [bs - n_valid + 1]
+                image = np.repeat(image, reps, axis=0)
+                map_t = np.repeat(map_t, reps, axis=0)
+            logits, _, per_image_loss = self._eval_step(variables, image, map_t)
+            logits = np.asarray(logits)[:n_valid]
+            loss = float(np.mean(np.asarray(per_image_loss)[:n_valid]))
             if self.cfg.run.save_val_images and len(val_strips) < 8:
                 from uda_clr_tpu.utils.visualize import joint_val_image
 

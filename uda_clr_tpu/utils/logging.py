@@ -90,6 +90,33 @@ class ScalarWriter:
         else:
             self._jsonl.write(json.dumps({"tag": tag, "value": float(value), "step": step}) + "\n")
 
+    def add_image(self, tag: str, img, step: int) -> None:
+        """Log an [H,W] / [H,W,1] / [H,W,3] image, min-max normalized to
+        [0,1] like the reference's ``make_grid(..., normalize=True)``
+        (Trainer_prototype_full.py:307-325). Without tensorboard, PNGs are
+        written next to the scalar JSONL instead."""
+        import numpy as np
+
+        img = np.asarray(img, np.float32)
+        lo, hi = float(img.min()), float(img.max())
+        img = (img - lo) / (hi - lo) if hi > lo else np.zeros_like(img)
+        if img.ndim == 3 and img.shape[-1] == 1:
+            img = img[..., 0]
+        if self._tb is not None:
+            self._tb.add_image(
+                tag, img, step, dataformats="HWC" if img.ndim == 3 else "HW"
+            )
+        else:
+            import cv2
+
+            d = os.path.join(os.path.dirname(self._jsonl.name), "images")
+            os.makedirs(d, exist_ok=True)
+            u8 = (img * 255).astype("uint8")
+            cv2.imwrite(
+                os.path.join(d, f"{tag.replace('/', '_')}_{step}.png"),
+                u8[..., ::-1] if u8.ndim == 3 else u8,
+            )
+
     def flush(self) -> None:
         if self._tb is not None:
             self._tb.flush()
