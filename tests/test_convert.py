@@ -4,6 +4,7 @@ instrument (SURVEY.md §7)."""
 
 import jax
 import numpy as np
+import pytest
 import torch
 
 from tests.torch_ref import TorchDeepLab
@@ -16,9 +17,10 @@ from uda_clr_tpu.models.deeplab import DeepLab
 from uda_clr_tpu.models.gan import BoundaryDiscriminator
 
 
-def test_deeplab_conversion_full_forward_parity():
+@pytest.mark.parametrize("backbone", ["mobilenet", "resnet", "xception", "drn"])
+def test_deeplab_conversion_full_forward_parity(backbone):
     torch.manual_seed(0)
-    tm = TorchDeepLab(num_classes=2, output_stride=16)
+    tm = TorchDeepLab(num_classes=2, output_stride=16, backbone=backbone)
     tm.eval()
     sd = {k: v.numpy() for k, v in tm.state_dict().items()
           if "num_batches_tracked" not in k}
@@ -26,7 +28,7 @@ def test_deeplab_conversion_full_forward_parity():
 
     params, stats = convert_deeplab_state_dict(sd, output_stride=16)
 
-    model = DeepLab(num_classes=2, backbone="mobilenet", output_stride=16, norm="bn")
+    model = DeepLab(num_classes=2, backbone=backbone, output_stride=16, norm="bn")
     ref_vars = model.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32), train=False)
     # structure check: converted trees align with the model's own init
     chex_paths = lambda t: {tuple(str(p) for p, _ in jax.tree_util.tree_flatten_with_path(t)[0])}

@@ -1,0 +1,215 @@
+"""Step-LEVEL numerical parity: two full fused JAX train iterations vs a
+faithful torch transcription of the reference's per-iteration choreography
+(Trainer_prototype_full.py:248-517) from identical converted weights.
+
+This is the keystone on top of the model/grad parity tests: it proves the
+aggressive fusion in train/steps.py (one S||T generator forward, shared
+forward across the three grad computations, doubled-batch D passes, flat
+T*B MC path, prototype EMA inside the step) reproduces the reference's
+losses AND its parameter/statistics updates (Adam + 2x SGD + EMA banks +
+BN running stats) — the second iteration's losses only match if every
+piece of state the first iteration wrote matched.
+
+Dropout is disabled on both sides (torch p=0, set_dropout_impl('off')):
+the two frameworks' RNGs cannot be made to coincide, and with dropout off
+every remaining quantity is deterministic. BN stays in train mode, so the
+batch-stats path (the actual parity risk) is fully exercised.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from tests.torch_ref import TorchDeepLab
+from tests.torch_step_ref import (
+    TorchBank,
+    TorchPatchDiscriminator,
+    prototype_full_iteration,
+)
+from uda_clr_tpu.config import Config
+from uda_clr_tpu.convert.torch_import import (
+    convert_deeplab_state_dict,
+    convert_discriminator_state_dict,
+)
+from uda_clr_tpu.models import layers as layers_lib
+from uda_clr_tpu.models.deeplab import DeepLab
+from uda_clr_tpu.train.state import create_train_state
+from uda_clr_tpu.train.steps import make_train_step
+
+B, SIZE = 2, 64
+
+
+def _zero_torch_dropout(model):
+    for m in model.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+
+
+def _make_batch(rng, seed_shift=0):
+    img_s = rng.standard_normal((B, SIZE, SIZE, 3)).astype(np.float32)
+    map_s = (rng.uniform(0, 1, (B, SIZE, SIZE, 2)) > 0.5).astype(np.float32)
+    bnd_s = rng.uniform(0, 1, (B, SIZE, SIZE, 1)).astype(np.float32)
+    img_t = rng.standard_normal((B, SIZE, SIZE, 3)).astype(np.float32)
+    return img_s, map_s, bnd_s, img_t
+
+
+def _to_nchw(x):
+    return torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+
+
+@pytest.fixture()
+def dropout_off():
+    layers_lib.set_dropout_impl("off")
+    yield
+    layers_lib.set_dropout_impl("xla")
+
+
+@pytest.mark.parametrize(
+    "method,retrify,mc_fast",
+    [
+        ("prototype_full", True, True),
+        ("prototype_full", True, False),
+        ("prototype_full", False, True),
+        ("adversarial", False, True),
+    ],
+)
+def test_train_step_parity(dropout_off, method, retrify, mc_fast):
+    torch.manual_seed(0)
+    T = 4
+
+    # ---- torch side: models + reference optimizers ----
+    tm = TorchDeepLab(num_classes=2, output_stride=16)
+    tm.train()
+    _zero_torch_dropout(tm)
+    # Spread the mask logits so sigmoid(o_before) straddles the 0.75
+    # pseudo-label threshold (the reference's unguarded centroid divisions
+    # need non-empty object AND background pseudo-masks; random-init logits
+    # sit at ~0.5 where pseudo-labels would be empty). Keeps |logits| < ~10
+    # so torch's BCELoss backward eps-clamp never engages.
+    with torch.no_grad():
+        tm.decoder.last_conv[3].weight.mul_(10.0)
+        tm.decoder.last_conv[3].bias.mul_(10.0)
+    tdis = TorchPatchDiscriminator(1)
+    tdis2 = TorchPatchDiscriminator(2)
+    tdis.train(), tdis2.train()
+
+    # lr_gen is a traced scalar on the JAX side and does not change the
+    # step's semantics; 1e-4 (vs the reference's 1e-3) keeps Adam's
+    # sign-like first step from amplifying the inherent cross-framework
+    # fp32 gradient noise (near-zero-gradient params get a full +-lr update
+    # whose SIGN is noise) into the iteration-2 loss comparison.
+    lr_gen = 1e-4
+    opt_gen = torch.optim.Adam(tm.parameters(), lr=lr_gen, betas=(0.9, 0.99))
+    opt_dis = torch.optim.SGD(tdis.parameters(), lr=2.5e-5, momentum=0.99, weight_decay=5e-4)
+    opt_dis2 = torch.optim.SGD(tdis2.parameters(), lr=2.5e-5, momentum=0.99, weight_decay=5e-4)
+
+    # ---- convert weights into the JAX state ----
+    sd = {k: v.numpy() for k, v in tm.state_dict().items() if "num_batches_tracked" not in k}
+    gen_params, gen_stats = convert_deeplab_state_dict(sd, output_stride=16)
+    dis_params = convert_discriminator_state_dict(
+        {k: v.numpy() for k, v in tdis.state_dict().items()}
+    )
+    dis2_params = convert_discriminator_state_dict(
+        {k: v.numpy() for k, v in tdis2.state_dict().items()}
+    )
+
+    cfg = Config()
+    cfg.model.compute_dtype = "float32"
+    cfg.method.method = method
+    cfg.method.retrify_pseudo = retrify
+    cfg.method.mc_samples = T
+    cfg.method.mc_fast = mc_fast
+    cfg.method.rng_impl = "threefry2x32"  # rbg keys unsupported on CPU tests
+
+    model = DeepLab(num_classes=2, backbone="mobilenet", output_stride=16, norm="bn")
+    state = create_train_state(model, jax.random.PRNGKey(0), (B, SIZE, SIZE, 3))
+    state = state.replace(
+        gen_params=jax.tree.map(jnp.asarray, gen_params),
+        gen_stats=jax.tree.map(jnp.asarray, gen_stats),
+        dis_params=jax.tree.map(jnp.asarray, dis_params),
+        dis2_params=jax.tree.map(jnp.asarray, dis2_params),
+    )
+
+    step = make_train_step(model, cfg, method, proto_phase=(method == "prototype_full"))
+    bank = TorchBank()
+    rng = np.random.default_rng(7)
+
+    for it in range(2):
+        img_s, map_s, bnd_s, img_t = _make_batch(rng)
+        batch = {
+            "image_s": jnp.asarray(img_s),
+            "map_s": jnp.asarray(map_s),
+            "boundary_s": jnp.asarray(bnd_s),
+            "image_t": jnp.asarray(img_t),
+        }
+        state, metrics = step(state, batch, lr_gen, 2.5e-5, 30)
+
+        want = prototype_full_iteration(
+            tm, tdis, tdis2, opt_gen, opt_dis, opt_dis2, bank,
+            _to_nchw(img_s), _to_nchw(map_s), _to_nchw(bnd_s), _to_nchw(img_t),
+            use_pid=(method == "prototype_full"), retrify=retrify, T=T,
+        )
+
+        # fp32 accumulation across ~60 BN layers drifts the deep losses by
+        # O(1e-4) relative on iteration 1 and a few e-4 after the optimizer
+        # round-trips; anything structurally wrong shows up orders of
+        # magnitude above these tolerances.
+        tol = 5e-4 if it == 0 else 5e-3
+        for key in ("loss_seg", "loss_adv", "loss_all", "loss_D", "loss_D2"):
+            if key in want:
+                np.testing.assert_allclose(
+                    float(metrics[key]), want[key], rtol=tol,
+                    err_msg=f"iter {it}: {key}",
+                )
+        if method == "prototype_full":
+            np.testing.assert_allclose(
+                float(metrics["loss_intra"]), want["loss_intra"],
+                rtol=tol * 20, atol=1e-5, err_msg=f"iter {it}: loss_intra",
+            )
+            np.testing.assert_allclose(
+                float(metrics["loss_inter"]), want["loss_inter"],
+                rtol=tol * 20, atol=1e-5, err_msg=f"iter {it}: loss_inter",
+            )
+            # the EMA prototype banks (written back into TrainState);
+            # iter 1's bank pools features of the once-updated params, so
+            # it inherits the Adam-noise floor like the iter-1 losses
+            brtol, batol = (5e-3, 5e-3) if it == 0 else (5e-2, 2e-2)
+            got_src = np.asarray(state.proto_src)
+            want_src = np.stack([b.numpy() for b in bank.src])
+            np.testing.assert_allclose(
+                got_src, want_src, rtol=brtol, atol=batol,
+                err_msg=f"iter {it}: proto_src bank",
+            )
+            got_trg = np.asarray(state.proto_trg)
+            want_trg = np.stack([b.numpy() for b in bank.trg])
+            np.testing.assert_allclose(
+                got_trg, want_trg, rtol=brtol, atol=batol,
+                err_msg=f"iter {it}: proto_trg bank",
+            )
+
+    # ---- post-update state: discriminator params (SGD+momentum+wd x2) ----
+    got_w = np.asarray(state.dis_params["conv1"]["conv"]["kernel"])
+    want_w = tdis.conv1.weight.detach().numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(got_w, want_w, rtol=1e-4, atol=1e-7)
+
+    # ---- post-update BN running stats (T-then-S update order x2 iters) ----
+    stem_stats = state.gen_stats["backbone"]["stem_bn"]
+    t_sd = tm.state_dict()
+    np.testing.assert_allclose(
+        np.asarray(stem_stats["mean"]),
+        t_sd["backbone.features.0.1.running_mean"].numpy(),
+        rtol=1e-3, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(stem_stats["var"]),
+        t_sd["backbone.features.0.1.running_var"].numpy(),
+        rtol=1e-3, atol=1e-5,
+    )
+
+    # ---- post-update generator params (Adam x2 iters) ----
+    got_stem = np.asarray(state.gen_params["backbone"]["stem"]["conv"]["kernel"])
+    want_stem = t_sd["backbone.features.0.0.weight"].numpy().transpose(2, 3, 1, 0)
+    scale = max(np.abs(want_stem).max(), 1e-6)
+    np.testing.assert_allclose(got_stem / scale, want_stem / scale, atol=5e-3)

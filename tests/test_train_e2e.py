@@ -96,3 +96,17 @@ def test_other_methods_one_epoch(tmp_path, method):
         assert "loss_consistency" in m
     if method == "prototype_mt":
         assert "loss_aug" in m and "loss_src_reg" in m
+
+
+@pytest.mark.parametrize("backbone", ["resnet"])
+def test_secondary_backbone_train_smoke(tmp_path, backbone):
+    """VERDICT r1 item 4: at least one non-mobilenet backbone must survive a
+    real (tiny) train epoch, not just a shape check."""
+    from uda_clr_tpu.train.trainer import Trainer
+
+    cfg = _tiny_cfg(tmp_path, "baseline")
+    cfg.model.backbone = backbone
+    cfg.run.max_epoch = 1
+    tr = Trainer(cfg)
+    m = tr.train_epoch()
+    assert np.isfinite(m["loss_all"])

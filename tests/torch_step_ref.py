@@ -1,0 +1,247 @@
+"""Test-only torch transcription of ONE Trainer_prototype_full training
+iteration (reference train_process/Trainer_prototype_full.py:248-517),
+used as the step-level numerical-parity oracle for the fused JAX train
+step (uda_clr_tpu/train/steps.py).
+
+Like tests/torch_ref.py, this deliberately restates the reference's
+choreography (G forward x2, MC-dropout no-grad forwards, prototype EMA +
+"First" seeding, G backward + Adam step, D same/diff backwards + SGD
+steps) so the aggressively fused JAX step can be validated against the
+reference's sequential semantics. Never ships in the package.
+
+One deliberate deviation, matching the framework (models/norm.py:96-100):
+BN running statistics are snapshotted before the no-grad MC forwards and
+restored after — the reference lets those forwards drift its running
+stats (Trainer_prototype_full.py:358-368); the JAX step does not, so the
+oracle reproduces the framework's (documented) choice to keep every other
+quantity comparable.
+"""
+
+from __future__ import annotations
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+class TorchPatchDiscriminator(nn.Module):
+    """Reference GAN.py PatchGAN ladder: 5x conv(k4,s2,p2,no bias) with
+    LeakyReLU(0.2) between (GAN.py:92-107)."""
+
+    def __init__(self, in_channels: int):
+        super().__init__()
+        chans = [in_channels, 64, 128, 256, 512, 1]
+        for i in range(5):
+            self.add_module(
+                f"conv{i + 1}", nn.Conv2d(chans[i], chans[i + 1], 4, 2, 2, bias=False)
+            )
+
+    def forward(self, x):
+        for i in range(5):
+            x = getattr(self, f"conv{i + 1}")(x)
+            if i < 4:
+                x = F.leaky_relu(x, 0.2)
+        return x
+
+
+def torch_gen_prototype(pred, feat):
+    """Utils.py:108-131 (NCHW). Returns [cup_obj, disc_obj, cup_bck,
+    disc_bck] 1-D tensors (grad-carrying)."""
+    cup, disc = pred[:, 0:1], pred[:, 1:]
+    out = []
+    for m in (cup, disc, 1.0 - cup, 1.0 - disc):
+        num = torch.sum(feat * m, dim=[0, 2, 3])
+        den = torch.sum(m, dim=[0, 2, 3])
+        out.append(num / den)
+    return out
+
+
+def torch_gen_prototype_retrify(o_before, xt_feature, preds_trg, T):
+    """Utils.py:159-225 (NCHW): MC-rectified target centroids.
+
+    ``preds_trg``: [T*B, 2, H, W] stacked no-grad MC mask logits (full
+    res). The reference also passes (and averages) MC features, but never
+    uses the mean feature — omitted here like in the JAX port."""
+    B = preds_trg.shape[0] // T
+    preds = preds_trg.reshape(T, B, 2, preds_trg.shape[2], preds_trg.shape[3])
+    preds1 = torch.sigmoid(preds)
+    soft = torch.sigmoid(preds / 2.0)
+    std_map = torch.std(soft, dim=0)
+    prediction = torch.mean(preds1, dim=0)
+    h, w = xt_feature.shape[2], xt_feature.shape[3]
+    prediction_small = F.interpolate(prediction, size=(h, w), mode="bilinear", align_corners=True)
+    std_small = F.interpolate(std_map, size=(h, w), mode="bilinear", align_corners=True)
+
+    pseudo = torch.sigmoid(o_before).clone()
+    pseudo[pseudo > 0.75] = 1.0
+    pseudo[pseudo <= 0.75] = 0.0
+    t_masks = (pseudo[:, 0:1], pseudo[:, 1:], 1.0 - pseudo[:, 0:1], 1.0 - pseudo[:, 1:])
+    conf = ((std_small[:, 0:1] < 0.04).float(), (std_small[:, 1:] < 0.04).float())
+    confs = (conf[0], conf[1], conf[0], conf[1])
+    pw = prediction_small
+    weights = (pw[:, 0:1], pw[:, 1:], 1.0 - pw[:, 0:1], 1.0 - pw[:, 1:])
+
+    out = []
+    for m, c, wgt in zip(t_masks, confs, weights):
+        num = torch.sum(xt_feature * m * c * wgt, dim=[0, 2, 3])
+        den = torch.sum(m * c * wgt, dim=[0, 2, 3])
+        out.append(num / den)
+    return out
+
+
+class TorchBank:
+    """The trainer-instance EMA prototype state (Trainer_prototype_full.py
+    :32-33: First/First_src flags + 8 detached centroid attributes)."""
+
+    def __init__(self):
+        self.first_src = True
+        self.first_trg = True
+        self.src = None  # list of 4 detached tensors
+        self.trg = None
+
+
+def prototype_full_iteration(
+    gen: nn.Module,
+    dis: nn.Module,
+    dis2: nn.Module,
+    opt_gen,
+    opt_dis,
+    opt_dis2,
+    bank: TorchBank,
+    image_s,
+    map_s,
+    boundary_s,
+    image_t,
+    *,
+    use_pid: bool = True,
+    retrify: bool = True,
+    T: int = 4,
+    pro_weight: float = 0.1,
+    global_pro_weight: float = 0.9,
+    adv_weight: float = 0.01,
+):
+    """One reference iteration past warmup (epoch > warmup_epoch). Returns
+    the scalar losses the JAX step reports in its metrics dict."""
+    bceloss = nn.BCELoss()
+    mseloss = nn.MSELoss()
+    smooth = 1e-7
+
+    gen.train(), dis.train(), dis2.train()
+    opt_gen.zero_grad(), opt_dis.zero_grad(), opt_dis2.zero_grad()
+    for p in dis.parameters():
+        p.requires_grad = False
+    for p in dis2.parameters():
+        p.requires_grad = False
+    for p in gen.parameters():
+        p.requires_grad = True
+
+    # target forward FIRST, then source (reference :287-288) — the running
+    # BN stats see T's moments before S's.
+    oT, boundaryT, _, _, xt_feature, oT_before, _ = gen(image_t)
+    oS, boundaryS, _, _, xs_feature, oS_before, _ = gen(image_s)
+
+    loss_seg = bceloss(torch.sigmoid(oS), map_s) + mseloss(torch.sigmoid(boundaryS), boundary_s)
+
+    out = {"loss_seg": loss_seg.item()}
+    intra_loss = None
+    if use_pid:
+        pred_oS = F.interpolate(map_s.clone(), size=oS_before.shape[2:], mode="nearest")
+        cur_src = torch_gen_prototype(pred_oS, xs_feature)
+        if bank.first_src:
+            src = cur_src
+            bank.first_src = False
+        else:
+            d = global_pro_weight
+            src = [(1 - d) * b + d * c for b, c in zip(bank.src, cur_src)]
+        bank.src = [s.detach() for s in src]
+
+        # MC-dropout no-grad forwards of the 2x-repeated target batch
+        # (reference :358-368), WITHOUT drifting running stats (see module
+        # docstring). track_running_stats=False makes nn.BatchNorm2d pass
+        # None buffers to F.batch_norm in train mode: batch-stats
+        # normalization, zero buffer writes — any in-place buffer update
+        # here would trip autograd's version check on the main graph
+        # (native batch_norm saves the buffers; the reference's custom
+        # SyncBN updates stats outside autograd tracking, which is why the
+        # reference gets away with drifting them).
+        bns = [m for m in gen.modules() if isinstance(m, nn.BatchNorm2d)]
+        for m in bns:
+            m.track_running_stats = False
+        x_rep = image_t.repeat(2, 1, 1, 1)
+        chunks = []
+        with torch.no_grad():
+            for _ in range(T // 2):
+                p, *_ = gen(x_rep)
+                chunks.append(p)
+        for m in bns:
+            m.track_running_stats = True
+        preds_trg = torch.cat(chunks, dim=0)  # [T*B, 2, H, W]
+
+        if retrify:
+            cur_trg = torch_gen_prototype_retrify(oT_before, xt_feature, preds_trg, T)
+        else:
+            cur_trg = torch_gen_prototype(torch.sigmoid(oT_before), xt_feature)
+        if bank.first_trg:
+            trg = cur_trg
+            bank.first_trg = False
+        else:
+            d = global_pro_weight
+            trg = [(1 - d) * b + d * c for b, c in zip(bank.trg, cur_trg)]
+        bank.trg = [t.detach() for t in trg]
+
+        intra_loss = sum(mseloss(s, t) for s, t in zip(src, trg))
+        inter_loss = mseloss(src[1], src[3]) + mseloss(src[0], src[2])
+        out["loss_intra"] = intra_loss.item()
+        out["loss_inter"] = inter_loss.item()
+
+    # adversarial generator term (reference :452-458)
+    unc_T = -1.0 * torch.sigmoid(oT) * torch.log(torch.sigmoid(oT) + smooth)
+    D_out2 = dis(torch.sigmoid(boundaryT))
+    D_out1 = dis2(unc_T)
+    loss_adv = adv_weight * (
+        F.binary_cross_entropy_with_logits(D_out1, torch.ones_like(D_out1))
+        + F.binary_cross_entropy_with_logits(D_out2, torch.ones_like(D_out2))
+    )
+    out["loss_adv"] = loss_adv.item()
+
+    loss_all = loss_seg + loss_adv
+    if use_pid:
+        loss_all = loss_all + pro_weight * intra_loss
+    out["loss_all"] = loss_all.item()
+    loss_all.backward()
+    opt_gen.step()
+
+    # discriminators on the detached pre-update generator outputs
+    # (reference :471-517)
+    for p in dis.parameters():
+        p.requires_grad = True
+    for p in dis2.parameters():
+        p.requires_grad = True
+    for p in gen.parameters():
+        p.requires_grad = False
+
+    boundaryS_d, oS_d = boundaryS.detach(), oS.detach()
+    unc_S = -1.0 * torch.sigmoid(oS_d) * torch.log(torch.sigmoid(oS_d) + smooth)
+    D_out2 = dis(torch.sigmoid(boundaryS_d))
+    D_out1 = dis2(unc_S)
+    loss_D_same1 = F.binary_cross_entropy_with_logits(D_out1, torch.ones_like(D_out1))
+    loss_D_same2 = F.binary_cross_entropy_with_logits(D_out2, torch.ones_like(D_out2))
+    (loss_D_same1 + loss_D_same2).backward()
+
+    boundaryT_d, oT_d = boundaryT.detach(), oT.detach()
+    unc_T2 = -1.0 * torch.sigmoid(oT_d) * torch.log(torch.sigmoid(oT_d) + smooth)
+    D_out2 = dis(torch.sigmoid(boundaryT_d))
+    D_out1 = dis2(unc_T2)
+    loss_D_diff1 = F.binary_cross_entropy_with_logits(D_out1, torch.zeros_like(D_out1))
+    loss_D_diff2 = F.binary_cross_entropy_with_logits(D_out2, torch.zeros_like(D_out2))
+    (loss_D_diff1 + loss_D_diff2).backward()
+
+    opt_dis.step()
+    opt_dis2.step()
+    for p in gen.parameters():
+        p.requires_grad = True
+
+    # the JAX step reports each D's combined same+diff loss
+    out["loss_D"] = (loss_D_same2 + loss_D_diff2).item()
+    out["loss_D2"] = (loss_D_same1 + loss_D_diff1).item()
+    return out

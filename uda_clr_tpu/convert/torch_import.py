@@ -54,14 +54,9 @@ def _conv_entry(sd: dict, torch_prefix: str, params: dict, path: tuple) -> None:
         _put(params, path + ("conv", "bias"), sd[f"{torch_prefix}.bias"])
 
 
-def convert_deeplab_state_dict(sd: dict, output_stride: int = 16) -> tuple[dict, dict]:
-    """Reference DeepLab state_dict -> (params, batch_stats) trees matching
-    uda_clr_tpu.models.deeplab.DeepLab."""
-    sd = {k: np.asarray(v) for k, v in sd.items()}
-    params: dict = {}
-    stats: dict = {}
-
-    # ---- backbone (torch features.0 stem + features.1..17 blocks) ----
+def _convert_mobilenet_backbone(sd, params, stats, output_stride):
+    """torch features.0 stem + features.1..17 inverted residuals
+    (backbone/mobilenet.py:77-110)."""
     _conv_entry(sd, "backbone.features.0.0", params, ("backbone", "stem"))
     _bn_entries(sd, "backbone.features.0.1", params, stats, ("backbone", "stem_bn"))
     for idx, (cin, cout, stride, dil, t) in enumerate(mobilenet_block_plan(output_stride)):
@@ -79,6 +74,124 @@ def convert_deeplab_state_dict(sd: dict, output_stride: int = 16) -> tuple[dict,
                 _bn_entries(sd, f"{tp}.{ti}", params, stats, bp + (name,))
             else:
                 _conv_entry(sd, f"{tp}.{ti}", params, bp + (name,))
+
+
+def _convert_bottleneck(sd, tp, params, stats, bp):
+    """One torchvision-layout Bottleneck (backbone/resnet.py:6-43 /
+    drn.py Bottleneck): conv1-3/bn1-3 + optional downsample.{0,1}."""
+    for k in (1, 2, 3):
+        _conv_entry(sd, f"{tp}.conv{k}", params, bp + (f"conv{k}",))
+        _bn_entries(sd, f"{tp}.bn{k}", params, stats, bp + (f"bn{k}",))
+    if f"{tp}.downsample.0.weight" in sd:
+        _conv_entry(sd, f"{tp}.downsample.0", params, bp + ("down_conv",))
+        _bn_entries(sd, f"{tp}.downsample.1", params, stats, bp + ("down_bn",))
+
+
+def _convert_resnet_backbone(sd, params, stats):
+    """ResNet101 [3,4,23,3] + multi-grid layer4 (backbone/resnet.py:45-121,
+    torchvision state_dict layout, also the ImageNet resnet101 zoo file)."""
+    _conv_entry(sd, "backbone.conv1", params, ("backbone", "conv1"))
+    _bn_entries(sd, "backbone.bn1", params, stats, ("backbone", "bn1"))
+    for L, blocks in zip((1, 2, 3, 4), (3, 4, 23, 3)):
+        for i in range(blocks):
+            _convert_bottleneck(
+                sd, f"backbone.layer{L}.{i}", params, stats,
+                ("backbone", f"layer{L}_{i}"),
+            )
+
+
+def _xception_rep_indices(reps, stride, start_with_relu, grow_first, is_last):
+    """Replay Block.__init__'s rep-list construction (backbone/xception.py
+    :34-80) to map JAX sep{k} -> torch rep.{i} Sequential indices."""
+    idx, pos = [], 0
+    n_units = (1 if grow_first else 0) + (reps - 1) + (0 if grow_first else 1)
+    n_units += (1 if stride != 1 else 0) + (1 if stride == 1 and is_last else 0)
+    for _ in range(n_units):
+        pos += 1  # the ReLU
+        idx.append(pos)  # SeparableConv2d at pos, outer BN at pos+1
+        pos += 2
+    if not start_with_relu:
+        idx = [i - 1 for i in idx]
+    return idx
+
+
+def _convert_sep_conv(sd, tp, params, stats, bp):
+    """SeparableConv2d: conv1 (depthwise) + bn + pointwise
+    (backbone/xception.py:17-31)."""
+    _conv_entry(sd, f"{tp}.conv1", params, bp + ("depthwise",))
+    _bn_entries(sd, f"{tp}.bn", params, stats, bp + ("bn",))
+    _conv_entry(sd, f"{tp}.pointwise", params, bp + ("pointwise",))
+
+
+def _convert_xception_backbone(sd, params, stats, output_stride):
+    """AlignedXception (backbone/xception.py:96-232)."""
+    entry3_stride = 2 if output_stride == 16 else 1
+    _conv_entry(sd, "backbone.conv1", params, ("backbone", "conv1"))
+    _bn_entries(sd, "backbone.bn1", params, stats, ("backbone", "bn1"))
+    _conv_entry(sd, "backbone.conv2", params, ("backbone", "conv2"))
+    _bn_entries(sd, "backbone.bn2", params, stats, ("backbone", "bn2"))
+
+    # (reps, stride, start_with_relu, grow_first, is_last) per block
+    cfgs = {1: (2, 2, False, True, False), 2: (2, 2, False, True, False),
+            3: (2, entry3_stride, True, True, True)}
+    for i in range(4, 20):
+        cfgs[i] = (3, 1, True, True, False)
+    cfgs[20] = (2, 1, True, False, True)
+    for bnum, cfg in cfgs.items():
+        tp = f"backbone.block{bnum}"
+        bp = ("backbone", f"block{bnum}")
+        for k, rep_i in enumerate(_xception_rep_indices(*cfg)):
+            _convert_sep_conv(sd, f"{tp}.rep.{rep_i}", params, stats, bp + (f"sep{k}",))
+            _bn_entries(sd, f"{tp}.rep.{rep_i + 1}", params, stats, bp + (f"sep{k}_bn",))
+        if f"{tp}.skip.weight" in sd:
+            _conv_entry(sd, f"{tp}.skip", params, bp + ("skip",))
+            _bn_entries(sd, f"{tp}.skipbn", params, stats, bp + ("skip_bn",))
+
+    for k in (3, 4, 5):
+        _convert_sep_conv(sd, f"backbone.conv{k}", params, stats, ("backbone", f"conv{k}"))
+        _bn_entries(sd, f"backbone.bn{k}", params, stats, ("backbone", f"bn{k}"))
+
+
+def _convert_drn_backbone(sd, params, stats):
+    """DRN-D-54 (backbone/drn.py:102-230): layer0 stem Sequential,
+    conv layers 1/2/7/8, Bottleneck layers 3-6."""
+    _conv_entry(sd, "backbone.layer0.0", params, ("backbone", "layer0_conv"))
+    _bn_entries(sd, "backbone.layer0.1", params, stats, ("backbone", "layer0_bn"))
+    for L, convs in ((1, 1), (2, 1), (7, 1), (8, 1)):
+        for i in range(convs):
+            _conv_entry(sd, f"backbone.layer{L}.{3 * i}", params,
+                        ("backbone", f"layer{L}_conv{i}"))
+            _bn_entries(sd, f"backbone.layer{L}.{3 * i + 1}", params, stats,
+                        ("backbone", f"layer{L}_bn{i}"))
+    for L, blocks in zip((3, 4, 5, 6), (3, 4, 6, 3)):
+        for i in range(blocks):
+            _convert_bottleneck(
+                sd, f"backbone.layer{L}.{i}", params, stats,
+                ("backbone", f"layer{L}_{i}"),
+            )
+
+
+def convert_deeplab_state_dict(sd: dict, output_stride: int = 16) -> tuple[dict, dict]:
+    """Reference DeepLab state_dict -> (params, batch_stats) trees matching
+    uda_clr_tpu.models.deeplab.DeepLab. The backbone family is detected
+    from the state_dict's own key layout (all four reference backbones are
+    supported, enabling ImageNet/pretrained and checkpoint import for
+    each — reference backbone/{mobilenet,resnet,xception,drn}.py)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params: dict = {}
+    stats: dict = {}
+
+    # ---- backbone ----
+    if "backbone.features.0.0.weight" in sd:
+        _convert_mobilenet_backbone(sd, params, stats, output_stride)
+    elif "backbone.block1.rep.0.conv1.weight" in sd:
+        _convert_xception_backbone(sd, params, stats, output_stride)
+    elif "backbone.layer0.0.weight" in sd:
+        _convert_drn_backbone(sd, params, stats)
+    elif "backbone.layer1.0.conv1.weight" in sd:
+        _convert_resnet_backbone(sd, params, stats)
+    else:
+        raise ValueError("unrecognized backbone state_dict layout")
 
     # ---- ASPP ----
     for k in range(1, 5):

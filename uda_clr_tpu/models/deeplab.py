@@ -88,15 +88,33 @@ class DeepLab(nn.Module):
         """Backbone only (deterministic — no dropout in any backbone)."""
         return self.backbone_net(x, train, domains)
 
-    def heads(self, high, low, out_hw, train: bool = False, domains: int = 1) -> DeepLabOutputs:
-        """ASPP + dual-head decoder + align-corners upsample to ``out_hw``."""
-        feat = self.aspp(high, train, domains)
-        x1, boundary, x_bu_feature, x_feature = self.decoder(feat, low, train, domains)
+    def heads_prefix(self, high, low, train: bool = False, domains: int = 1):
+        """Deterministic (pre-dropout) part of the heads: full ASPP minus
+        its final Dropout(0.5), plus the decoder's low-level projection.
+        The MC fast path runs this ONCE at batch B and replicates the two
+        outputs T times before sampling — bit-identical to replicating
+        first (BN moments over T identical copies equal the per-batch
+        moments), at 1/T of the compute (train/steps.py)."""
+        feat_predrop = self.aspp.predrop(high, train, domains)
+        ll = self.decoder.low_prefix(low, train, domains)
+        return feat_predrop, ll
+
+    def heads_suffix(self, feat_predrop, ll, out_hw, train: bool = False,
+                     domains: int = 1) -> DeepLabOutputs:
+        """Dropout-bearing remainder: ASPP dropout + decoder heads +
+        align-corners upsample to ``out_hw``."""
+        feat = self.aspp.drop(feat_predrop, train)
+        x1, boundary, x_bu_feature, x_feature = self.decoder.suffix(feat, ll, train, domains)
         mask_logits = resize_bilinear_align_corners(x1, out_hw)
         boundary_logits = resize_bilinear_align_corners(boundary, out_hw)
         return DeepLabOutputs(
             mask_logits, boundary_logits, feat, x_bu_feature, x_feature, x1, boundary
         )
+
+    def heads(self, high, low, out_hw, train: bool = False, domains: int = 1) -> DeepLabOutputs:
+        """ASPP + dual-head decoder + align-corners upsample to ``out_hw``."""
+        feat_predrop, ll = self.heads_prefix(high, low, train, domains)
+        return self.heads_suffix(feat_predrop, ll, out_hw, train, domains)
 
     def __call__(self, x: jnp.ndarray, train: bool = False, domains: int = 1) -> DeepLabOutputs:
         high, low = self.features(x, train, domains)

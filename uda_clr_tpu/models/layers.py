@@ -68,29 +68,40 @@ def fixed_padding(x: jnp.ndarray, kernel_size: int, dilation: int) -> jnp.ndarra
     return jnp.pad(x, [(0, 0), (beg, end), (beg, end), (0, 0)])
 
 
-# Dropout backend: 'auto' = fused Pallas kernel on TPU, XLA bernoulli
-# elsewhere; 'xla' / 'pallas' force one (bench A/B and tests). Global for
-# the same reason as models/norm.py's moments switch: read at trace time.
-_DROPOUT_IMPL = "auto"
+# Dropout backend: 'xla' (default) = jax.random.bernoulli, which XLA
+# fuses into the surrounding elementwise graph; 'auto'/'pallas' = the
+# fused Pallas kernel on TPU (ops/pallas/dropout.py) — measured SLOWER
+# end-to-end on real v5e hardware (A/B on the flagship bench: 159.9 ms vs
+# 151.4 ms per step), because the custom call is a fusion barrier: XLA's
+# bernoulli+select melts into the producer/consumer fusions and its
+# random bits never round-trip HBM, while the kernel forces a separate
+# read of x and write of the output. Kept as an opt-in for future
+# shapes/hardware where the tradeoff flips. 'off' makes every dropout an
+# identity while BN stays in train mode — used by the step-level parity
+# harness, where torch/JAX dropout masks cannot be made to coincide
+# (tests/test_step_parity.py zeroes the torch ps to match).
+# Global for the same reason as models/norm.py's moments switch: read at
+# trace time.
+_DROPOUT_IMPL = "xla"
 
 
 def set_dropout_impl(impl: str) -> None:
     global _DROPOUT_IMPL
-    assert impl in ("auto", "xla", "pallas"), impl
+    assert impl in ("auto", "xla", "pallas", "off"), impl
     _DROPOUT_IMPL = impl
 
 
 class TpuDropout(nn.Module):
     """Drop-in for ``nn.Dropout`` (same semantics: zero with prob ``rate``,
-    scale survivors by 1/keep) that fuses PRNG + mask + scale into one
-    Pallas pass on TPU — XLA's lowering materializes 4 random bytes per
-    element through HBM (see ops/pallas/dropout.py)."""
+    scale survivors by 1/keep) with a selectable backend: XLA bernoulli
+    (default — fuses best, see ``_DROPOUT_IMPL`` above for the measured
+    A/B) or the fused Pallas PRNG kernel (ops/pallas/dropout.py)."""
 
     rate: float
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
-        if deterministic or self.rate == 0.0:
+        if deterministic or self.rate == 0.0 or _DROPOUT_IMPL == "off":
             return x
         key = self.make_rng("dropout")
         from uda_clr_tpu.ops.pallas.dropout import (
@@ -101,7 +112,7 @@ class TpuDropout(nn.Module):
         use_pallas = impl == "pallas" or (
             impl == "auto" and jax.default_backend() == "tpu"
         )
-        if use_pallas and dropout_supported(x.shape):
+        if use_pallas and dropout_supported(x.shape, jnp.dtype(x.dtype).itemsize):
             return dropout_pallas(x, seed_from_key(key), self.rate)
         keep = 1.0 - self.rate
         mask = jax.random.bernoulli(key, keep, x.shape)

@@ -1,10 +1,17 @@
 """Pallas TPU fused dropout: on-chip PRNG + mask + scale in ONE pass.
 
-XLA lowers `jax.random.bernoulli` dropout to a materialized
-RngBitGenerator output (4 bytes/element written + re-read) followed by a
-compare/select fusion — for the train step's big decoder activations
-(e.g. the MC-rectification heads pass at [T*B, 128, 128, 256..305]) that
-is ~11 ms of pure HBM traffic per step (xplane-profiled, see PARITY.md).
+STATUS: opt-in only (`models.layers.set_dropout_impl('pallas')`), NOT the
+default. The A/B on the flagship bench (512x512, B8, T=8 MC, bf16, real
+v5e) measured the kernel a net LOSS: 159.9 ms/step vs 151.4 ms with
+XLA's bernoulli. Hypothesis held before measuring: XLA materializes 4
+random bytes/element through HBM. What the hardware showed: XLA fuses
+the RngBitGenerator + compare + select into the producer/consumer
+fusions, so the random bits never round-trip HBM — while this custom
+call is a fusion BARRIER that forces a separate HBM read of x and write
+of the output. Kept for shapes/hardware where the tradeoff flips; the
+kernel itself is correct (structural tests in interpret mode, statistics
+on real TPU).
+
 This kernel generates the random bits in VMEM with the hardware PRNG
 (`pltpu.prng_random_bits`) and applies mask+scale in the same pass, so
 HBM sees exactly one read of x and one write of the output.
@@ -31,25 +38,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Row-block sizes tried in order; block = (bm, C) of the [M, C] flattened
-# view. 8 MB VMEM of bf16 at C<=384 padded lanes double-buffers fine.
+# view, further capped by the VMEM budget below.
 _BLOCK_ROWS = (8192, 4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8)
 
+# Mosaic's default scoped-VMEM limit is 16 MB; the kernel's working set is
+# in-block + out-block, each double-buffered (4 buffers), with the lane
+# dimension padded to a multiple of 128. Budget well under the limit so
+# the random-bits buffer and spills fit too (a 24 MB block at C=305
+# OOMed scoped vmem on real v5e hardware at the flagship shapes).
+_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
 
-def _pick_block_rows(m: int) -> int | None:
+
+def _pick_block_rows(m: int, c: int, itemsize: int) -> int | None:
+    c_padded = -(-c // 128) * 128
     for bm in _BLOCK_ROWS:
-        if m % bm == 0:
+        if m % bm == 0 and 4 * bm * c_padded * itemsize <= _VMEM_BUDGET_BYTES:
             return bm
     return None
 
 
-def dropout_supported(shape) -> bool:
+def dropout_supported(shape, itemsize: int = 4) -> bool:
     """The kernel handles any [..., C] whose leading-axes product divides
-    into an aligned row block (always true for the framework's NHWC
-    activation shapes)."""
+    into an aligned row block that fits the VMEM budget (always true for
+    the framework's NHWC activation shapes)."""
     m = 1
     for d in shape[:-1]:
         m *= d
-    return _pick_block_rows(m) is not None
+    return _pick_block_rows(m, shape[-1], itemsize) is not None
 
 
 def _dropout_kernel(seed_ref, x_ref, o_ref, *, threshold: int, inv_keep: float):
@@ -70,7 +85,7 @@ def _apply(x: jnp.ndarray, seed: jnp.ndarray, rate: float, interpret: bool = Fal
     c = x.shape[-1]
     flat = x.reshape(-1, c)
     m = flat.shape[0]
-    bm = _pick_block_rows(m)
+    bm = _pick_block_rows(m, c, x.dtype.itemsize)
     assert bm is not None, f"unsupported dropout shape {x.shape}"
     out = pl.pallas_call(
         functools.partial(_dropout_kernel, threshold=threshold, inv_keep=1.0 / keep),

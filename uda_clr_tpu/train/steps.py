@@ -107,16 +107,25 @@ def _mc_dropout_forward(model, params, stats, imageT, rng, t_samples: int,
     variables = {"params": params, "batch_stats": stats}
     if fast:
         high, low = model.apply(variables, imageT, True, 1, method="features")
+        # The deterministic pre-dropout prefix (full ASPP minus its final
+        # dropout + the decoder low-level projection) runs ONCE at batch B:
+        # replicating T times first would feed every BN T identical copies
+        # (identical moments) and every conv identical inputs — pure waste
+        # (measured ~9 ms/step at the flagship shapes). Replication happens
+        # at the first dropout site instead; bit-identical numerics.
+        feat_predrop, ll = model.apply(
+            variables, high, low, True, 1, method="heads_prefix"
+        )
         # Flat T*B repeated batch instead of a vmap over T keys: elementwise
         # dropout under ONE key gives i.i.d. masks per repeated sample, and
         # BN moments over T identical copies equal the per-forward moments —
         # mathematically the same sampling, but XLA sees one large clean
         # NHWC batch (no strided vmap layouts, one rng call per layer).
-        high_rep = jnp.concatenate([high] * t_samples, axis=0)
-        low_rep = jnp.concatenate([low] * t_samples, axis=0)
+        feat_rep = jnp.concatenate([feat_predrop] * t_samples, axis=0)
+        ll_rep = jnp.concatenate([ll] * t_samples, axis=0)
         outs = model.apply(
-            variables, high_rep, low_rep, (H, W), True, 1,
-            method="heads", rngs={"dropout": _dropout_key(rng, rng_impl)},
+            variables, feat_rep, ll_rep, (H, W), True, 1,
+            method="heads_suffix", rngs={"dropout": _dropout_key(rng, rng_impl)},
         )
         mc = outs.mask_logits.reshape(t_samples, b, H, W, -1)
         return jax.lax.stop_gradient(mc)
