@@ -51,6 +51,7 @@ def main():
     cfg.model.compute_dtype = "bfloat16"
     cfg.method.method = "prototype_full"
     cfg.method.mc_samples = 8  # reference T=8
+    cfg.method.mask_head_impl = os.environ.get("UDA_MASKHEAD_IMPL", "auto")
 
     n_dev = len(jax.devices())
     n_data = n_dev

@@ -66,6 +66,7 @@ class MethodConfig:
     std_threshold: float = 0.04
     pseudo_threshold: float = 0.75
     rng_impl: str = "unsafe_rbg"  # dropout-bit PRNG: threefry2x32 | rbg | unsafe_rbg
+    mask_head_impl: str = "auto"  # MC fused mask-head: auto | xla | pallas
     # Trainer_prototype (disk-bank variant)
     bank_ema: float = 0.001
     bank_loss_weight: float = 0.05

@@ -59,6 +59,19 @@ def available() -> bool:
     return _load() is not None
 
 
+def set_enabled(enabled: bool) -> None:
+    """Force the native library on/off (A/B benchmarking —
+    tools/bench_pipeline.py). Off = scipy fallbacks everywhere."""
+    global _lib, _tried
+    with _lock:
+        if not enabled:
+            _lib, _tried = None, True
+        else:
+            _tried = False
+    if enabled:
+        _load()
+
+
 def gaussian2d(field: np.ndarray, sigma: float, mode: str = "constant") -> np.ndarray:
     """In-place-sh separable gaussian of a [h,w] float64 field."""
     lib = _load()

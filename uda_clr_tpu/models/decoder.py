@@ -52,9 +52,10 @@ class Decoder(nn.Module):
         ll = self.low_bn(ll, train, domains)
         return nn.relu(ll)
 
-    def suffix(self, x, ll, train: bool, domains: int = 1):
-        """Upsample + boundary head + mask head (all the dropout sites).
-        ``x`` is the (possibly already dropout-sampled) ASPP output."""
+    def suffix_bound(self, x, ll, train: bool, domains: int = 1):
+        """Upsample + concat + the boundary head — everything the mask
+        head consumes. Split out so the MC fast path can replace the mask
+        head with the fused Pallas epilogue (ops/pallas/mask_head.py)."""
         x = resize_bilinear_align_corners(x, (ll.shape[1], ll.shape[2]))
         x_bu_feature = jnp.concatenate([x, ll], axis=-1)  # [B,128,128,304]
 
@@ -68,6 +69,12 @@ class Decoder(nn.Module):
         b = nn.relu(b)
         b = self.bound_drop2(b, deterministic=not train)
         boundary = self.bound_out(b)
+        return x_bu_feature, boundary
+
+    def suffix(self, x, ll, train: bool, domains: int = 1):
+        """Upsample + boundary head + mask head (all the dropout sites).
+        ``x`` is the (possibly already dropout-sampled) ASPP output."""
+        x_bu_feature, boundary = self.suffix_bound(x, ll, train, domains)
 
         x_feature = jnp.concatenate([x_bu_feature, boundary], axis=-1)  # [B,128,128,305]
 

@@ -79,7 +79,7 @@ def _dropout_key(k, impl: str):
 
 
 def _mc_dropout_forward(model, params, stats, imageT, rng, t_samples: int,
-                        fast: bool, rng_impl: str):
+                        fast: bool, rng_impl: str, mask_head_impl: str = "auto"):
     """T MC-dropout mask-logit samples of the target batch, [T, B, H, W, 2].
 
     Reference behaviour (Trainer_prototype_full.py:358-368): T/2 train-mode
@@ -121,13 +121,50 @@ def _mc_dropout_forward(model, params, stats, imageT, rng, t_samples: int,
         # BN moments over T identical copies equal the per-forward moments —
         # mathematically the same sampling, but XLA sees one large clean
         # NHWC batch (no strided vmap layouts, one rng call per layer).
+        k_heads, k_mask = jax.random.split(rng)
         feat_rep = jnp.concatenate([feat_predrop] * t_samples, axis=0)
         ll_rep = jnp.concatenate([ll] * t_samples, axis=0)
-        outs = model.apply(
-            variables, feat_rep, ll_rep, (H, W), True, 1,
-            method="heads_suffix", rngs={"dropout": _dropout_key(rng, rng_impl)},
+        x_bu, boundary = model.apply(
+            variables, feat_rep, ll_rep, True, 1,
+            method="heads_suffix_bound",
+            rngs={"dropout": _dropout_key(k_heads, rng_impl)},
         )
-        mc = outs.mask_logits.reshape(t_samples, b, H, W, -1)
+        # Mask head via the fused Pallas epilogue (BN apply + relu +
+        # dropout + 1x1 conv in one streaming pass — the 305-channel
+        # concat never materializes; ops/pallas/mask_head.py). Batch
+        # moments of the virtual concat decompose per channel; computed
+        # here exactly like models/norm.py:_batch_moments.
+        from uda_clr_tpu.ops.pallas.mask_head import fused_mask_head
+
+        def _moments(t):
+            t32 = t.astype(jnp.float32)
+            mean = jnp.mean(t32, axis=(0, 1, 2))
+            var = jnp.maximum(
+                jnp.mean(jnp.square(t32), axis=(0, 1, 2)) - jnp.square(mean), 0.0
+            )
+            return mean, var
+
+        mu_x, var_x = _moments(x_bu)
+        mu_b, var_b = _moments(boundary)
+        dec = params["decoder"]
+        # honor the global dropout kill-switch (step-parity harness runs
+        # dropout-free); rate is read at trace time like TpuDropout's
+        from uda_clr_tpu.models import layers as layers_lib
+
+        drop_rate = 0.0 if layers_lib._DROPOUT_IMPL == "off" else 0.1
+        x1 = fused_mask_head(
+            x_bu, boundary,
+            jnp.concatenate([mu_x, mu_b]), jnp.concatenate([var_x, var_b]),
+            dec["mask_bn"]["scale"], dec["mask_bn"]["bias"],
+            dec["mask_out"]["conv"]["kernel"], dec["mask_out"]["conv"]["bias"],
+            k_mask, rate=drop_rate,
+            impl="xla" if drop_rate == 0.0 else mask_head_impl,
+        )
+        from uda_clr_tpu.ops.resize import resize_bilinear_align_corners
+
+        mc = resize_bilinear_align_corners(x1, (H, W)).reshape(
+            t_samples, b, H, W, -1
+        )
         return jax.lax.stop_gradient(mc)
 
     lanes = max(t_samples // 2, 1)
@@ -187,6 +224,7 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
                 model, state.gen_params, state.gen_stats, image_t, k_mc,
                 mcfg.mc_samples, fast=mcfg.mc_fast and model.norm == "bn",
                 rng_impl=mcfg.rng_impl,
+                mask_head_impl=getattr(mcfg, "mask_head_impl", "auto"),
             ).astype(jnp.float32)
 
         # ---- teacher forward (mean teacher) ----
