@@ -181,17 +181,17 @@ def convert_deeplab_state_dict(sd: dict, output_stride: int = 16) -> tuple[dict,
     params: dict = {}
     stats: dict = {}
 
-    # ---- backbone ----
-    if "backbone.features.0.0.weight" in sd:
-        _convert_mobilenet_backbone(sd, params, stats, output_stride)
-    elif "backbone.block1.rep.0.conv1.weight" in sd:
+    # ---- backbone (prefix-based so partial dicts — e.g. TN buffer-only
+    # checkpoints — still convert; unmatched entries are simply skipped by
+    # the per-layer emitters) ----
+    if any(k.startswith("backbone.block") for k in sd):
         _convert_xception_backbone(sd, params, stats, output_stride)
-    elif "backbone.layer0.0.weight" in sd:
+    elif any(k.startswith("backbone.layer0.") for k in sd):
         _convert_drn_backbone(sd, params, stats)
-    elif "backbone.layer1.0.conv1.weight" in sd:
+    elif any(k.startswith("backbone.layer1.0.conv1") for k in sd):
         _convert_resnet_backbone(sd, params, stats)
     else:
-        raise ValueError("unrecognized backbone state_dict layout")
+        _convert_mobilenet_backbone(sd, params, stats, output_stride)
 
     # ---- ASPP ----
     for k in range(1, 5):
