@@ -110,3 +110,33 @@ def test_secondary_backbone_train_smoke(tmp_path, backbone):
     tr = Trainer(cfg)
     m = tr.train_epoch()
     assert np.isfinite(m["loss_all"])
+
+
+def test_bcdm_one_epoch(tmp_path):
+    """Bi-classifier discrepancy method (bytecode-only Trainer_bcdm
+    reconstruction — see train/steps.py:make_bcdm_step): the 3-phase
+    step must run, report the reference's cdd scalars, keep both
+    classifier trees distinct, and learn on the tiny dataset."""
+    from uda_clr_tpu.train.trainer import Trainer
+
+    cfg = _tiny_cfg(tmp_path, "bcdm", warmup_epoch=0)
+    tr = Trainer(cfg)
+    m0 = tr.train_epoch()
+    assert {"loss_seg", "loss_cdd_before", "loss_cdd_after", "loss_all"} <= set(m0)
+    assert all(np.isfinite(v) for v in m0.values())
+    tr.epoch = 1
+    m1 = tr.train_epoch()
+    tr.epoch = 2
+    m2 = tr.train_epoch()
+    # phase B maximizes target discrepancy against the seg loss, so a
+    # strict per-epoch decrease is not guaranteed at this scale; require
+    # the supervised loss to trend down without blowing up
+    assert m2["loss_seg"] < m0["loss_seg"] * 1.05
+    assert np.isfinite(m2["loss_all"])
+    # the two classifiers stay distinct (C2 is not a copy of C1)
+    w1 = np.asarray(tr.state.gen_params["decoder"]["mask_out"]["conv"]["kernel"])
+    w2 = np.asarray(tr.state.cls2_params["decoder"]["mask_out"]["conv"]["kernel"])
+    assert np.abs(w1 - w2).max() > 1e-4
+    # validation (classifier 1) still works
+    val = tr.validate()
+    assert 0.0 <= val["cup_dice"] <= 1.0

@@ -52,7 +52,7 @@ class OptimConfig:
 class MethodConfig:
     """Algorithm switches mirroring the reference trainers' surface."""
 
-    method: str = "prototype_full"  # baseline | adversarial | prototype | prototype_full | prototype_mt | mean_teacher
+    method: str = "prototype_full"  # baseline | adversarial | prototype | prototype_full | prototype_mt | mean_teacher | bcdm
     warmup_epoch: int = 25
     adv_weight: float = 0.01
     # prototype stack (Trainer_prototype_full)

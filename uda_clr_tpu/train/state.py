@@ -52,6 +52,17 @@ class TrainState:
     # EMA-updated with momentum 0.001 — Trainer_prototype.py:62-64,117-123)
     proto_bank: Any = None
 
+    # second classifier for the bi-classifier bcdm method (bytecode-only
+    # Trainer_bcdm: model_fea + model_cls_1/model_cls_2 with separate
+    # optimizers; reconstruction evidence in train/steps.py). cls2 holds
+    # the {aspp, decoder} params/stats of classifier 2 (classifier 1 lives
+    # inside gen_params/gen_stats); bcdm_opt holds the three Adam states
+    # {fea, cls1, cls2} with independent step counts, matching torch's
+    # per-optimizer moments.
+    cls2_params: Any = None
+    cls2_stats: Any = None
+    bcdm_opt: Any = None
+
 
 def create_train_state(
     model: DeepLab,
@@ -60,6 +71,7 @@ def create_train_state(
     optim_cfg=None,
     with_teacher: bool = False,
     with_proto_bank: bool = False,
+    with_cls2: bool = False,
     dis_input_hw: Optional[tuple] = None,
 ) -> TrainState:
     """Initialize all params/opt-states on one host call.
@@ -84,6 +96,20 @@ def create_train_state(
 
     gen_tx = optim_lib.adam_direction(optim_cfg.adam_b1, optim_cfg.adam_b2)
     dis_tx = optim_lib.sgd_direction(optim_cfg.sgd_momentum, optim_cfg.weight_decay)
+
+    cls2_params = cls2_stats = bcdm_opt = None
+    if with_cls2:
+        k_cls2 = jax.random.fold_in(k_gen, 1)
+        v2 = model.init(k_cls2, x, train=False)
+        cls2_params = {k: v2["params"][k] for k in ("aspp", "decoder")}
+        cls2_stats = {k: v2.get("batch_stats", {}).get(k, {}) for k in ("aspp", "decoder")}
+        fea_p = {"backbone": gen_params["backbone"]}
+        cls1_p = {k: gen_params[k] for k in ("aspp", "decoder")}
+        bcdm_opt = {
+            "fea": gen_tx.init(fea_p),
+            "cls1": gen_tx.init(cls1_p),
+            "cls2": gen_tx.init(cls2_params),
+        }
 
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -110,5 +136,8 @@ def create_train_state(
             if with_proto_bank
             else None
         ),
+        cls2_params=cls2_params,
+        cls2_stats=cls2_stats,
+        bcdm_opt=bcdm_opt,
     )
     return state

@@ -185,6 +185,169 @@ def _mc_dropout_forward(model, params, stats, imageT, rng, t_samples: int,
     return jax.lax.stop_gradient(mc[:t_samples])
 
 
+def make_bcdm_step(model: DeepLab, cfg: Config):
+    """Bi-classifier discrepancy step (bytecode-only ``Trainer_bcdm``).
+
+    Reconstruction evidence (Trainer_bcdm.cpython-38.pyc symbols/consts):
+    ``model_fea`` + ``model_cls_1``/``model_cls_2`` with separate
+    ``optim_fea``/``optim_cls``; a ``discrepancy_calc`` helper whose
+    docstring reads "dis_loss for two different classifiers / input:
+    v1,v2 / output: discrepancy" and whose code objects reference only
+    ``torch.sigmoid``/``mean``/``abs`` → ``mean(|sigmoid(v1)-sigmoid(v2)|)``;
+    per-iteration scalars ``train/loss_cdd_before`` and
+    ``train/loss_cdd_after``; epoch summary "Average segLoss / Average cdd
+    loss before / Average cdd loss after". This matches the classic
+    bi-classifier 3-phase choreography (MCD, Saito et al. CVPR'18 / BCDM,
+    Li et al. AAAI'21), reconstructed here as:
+
+      A. train F + C1 + C2 with the supervised source seg loss;
+      B. freeze F, train C1/C2 to keep source accuracy while MAXIMIZING
+         target discrepancy (``cdd_before`` = the discrepancy value);
+      C. freeze C1/C2, train F to MINIMIZE target discrepancy
+         (``cdd_after``).
+
+    The split here is F = backbone, C_i = ASPP+decoder+upsample (the
+    model's existing features/heads seam). Three Adam optimizers with
+    independent step counts (``state.bcdm_opt``); both use ``lr_gen``
+    (the bytecode stores separate fea/cls learning rates, both created
+    from the same 1e-3 const). Classifier 1 doubles as the eval model
+    (``gen_params``); classifier 2 lives in ``state.cls2_params/stats``.
+    Each phase runs its forwards in train mode with mutable running stats,
+    chained A -> B -> C like the reference's sequential optimizer steps.
+    """
+    tx = optim_lib.adam_direction(cfg.optim.adam_b1, cfg.optim.adam_b2)
+    compute_dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+    CLS_KEYS = ("aspp", "decoder")
+
+    def discrepancy(v1, v2):
+        return jnp.mean(jnp.abs(jax.nn.sigmoid(v1) - jax.nn.sigmoid(v2)))
+
+    def seg_loss(outs, map_s, boundary_s):
+        o = outs.mask_logits.astype(jnp.float32)
+        bd = outs.boundary_logits.astype(jnp.float32)
+        return L.bce_sigmoid_stable(o, map_s) + L.mse(jax.nn.sigmoid(bd), boundary_s)
+
+    def step(state: TrainState, batch: dict, lr_gen, lr_dis, epoch):
+        rng, *ks = jax.random.split(state.rng, 7)
+        image_s = batch["image_s"].astype(compute_dtype)
+        map_s, boundary_s = batch["map_s"], batch["boundary_s"]
+        image_t = batch["image_t"].astype(compute_dtype)
+        b = image_s.shape[0]
+        out_hw = (image_s.shape[1], image_s.shape[2])
+
+        fea = {"backbone": state.gen_params["backbone"]}
+        cls1 = {k: state.gen_params[k] for k in CLS_KEYS}
+        cls2 = state.cls2_params
+        bb_stats = {"backbone": state.gen_stats["backbone"]}
+        cls1_stats = {k: state.gen_stats[k] for k in CLS_KEYS}
+        cls2_stats = state.cls2_stats
+        opt = dict(state.bcdm_opt)
+
+        def features(fea_p, stats, x, domains):
+            (high, low), upd = model.apply(
+                {"params": fea_p, "batch_stats": stats}, x, True, domains,
+                method="features", mutable=["batch_stats"],
+            )
+            return high, low, upd["batch_stats"]
+
+        def heads(cls_p, stats, high, low, domains, k):
+            outs, upd = model.apply(
+                {"params": cls_p, "batch_stats": stats}, high, low, out_hw,
+                True, domains, method="heads", mutable=["batch_stats"],
+                rngs={"dropout": k},
+            )
+            return outs, upd["batch_stats"]
+
+        # ---- A: supervised source step for F, C1, C2 ----
+        def loss_a(fea_p, cls1_p, cls2_p):
+            high, low, new_bb = features(fea_p, bb_stats, image_s, 1)
+            o1, new_c1 = heads(cls1_p, cls1_stats, high, low, 1, ks[0])
+            o2, new_c2 = heads(cls2_p, cls2_stats, high, low, 1, ks[1])
+            loss = seg_loss(o1, map_s, boundary_s) + seg_loss(o2, map_s, boundary_s)
+            viz = {
+                "pred_s": jax.nn.sigmoid(o1.mask_logits.astype(jnp.float32)[0]),
+                "pred_b_s": jax.nn.sigmoid(o1.boundary_logits.astype(jnp.float32)[0]),
+            }
+            return loss, (new_bb, new_c1, new_c2, viz)
+
+        (l_a, (bb_stats, cls1_stats, cls2_stats, viz)), grads_a = jax.value_and_grad(
+            loss_a, argnums=(0, 1, 2), has_aux=True
+        )(fea, cls1, cls2)
+        for name, params, g in (("fea", fea, grads_a[0]), ("cls1", cls1, grads_a[1]),
+                                ("cls2", cls2, grads_a[2])):
+            upd, opt[name] = tx.update(g, opt[name], params)
+            new_p = optim_lib.apply_updates(params, upd, lr_gen)
+            if name == "fea":
+                fea = new_p
+            elif name == "cls1":
+                cls1 = new_p
+            else:
+                cls2 = new_p
+
+        # ---- B: freeze F; C1/C2 keep source accuracy, maximize target
+        # discrepancy (cdd_before) ----
+        def loss_b(cls1_p, cls2_p):
+            x_all = jnp.concatenate([image_s, image_t], axis=0)
+            high, low, new_bb = features(fea, bb_stats, x_all, 2)
+            o1, new_c1 = heads(cls1_p, cls1_stats, high, low, 2, ks[2])
+            o2, new_c2 = heads(cls2_p, cls2_stats, high, low, 2, ks[3])
+            s1, t1 = _split(o1, b)
+            s2, t2 = _split(o2, b)
+            seg = seg_loss(s1, map_s, boundary_s) + seg_loss(s2, map_s, boundary_s)
+            cdd = discrepancy(
+                t1.mask_logits.astype(jnp.float32), t2.mask_logits.astype(jnp.float32)
+            ) + discrepancy(
+                t1.boundary_logits.astype(jnp.float32), t2.boundary_logits.astype(jnp.float32)
+            )
+            return seg - cdd, (cdd, new_bb, new_c1, new_c2)
+
+        (l_b, (cdd_before, bb_stats, cls1_stats, cls2_stats)), grads_b = (
+            jax.value_and_grad(loss_b, argnums=(0, 1), has_aux=True)(cls1, cls2)
+        )
+        upd1, opt["cls1"] = tx.update(grads_b[0], opt["cls1"], cls1)
+        cls1 = optim_lib.apply_updates(cls1, upd1, lr_gen)
+        upd2, opt["cls2"] = tx.update(grads_b[1], opt["cls2"], cls2)
+        cls2 = optim_lib.apply_updates(cls2, upd2, lr_gen)
+
+        # ---- C: freeze C1/C2; F minimizes target discrepancy (cdd_after) ----
+        def loss_c(fea_p):
+            high, low, new_bb = features(fea_p, bb_stats, image_t, 1)
+            o1, new_c1 = heads(cls1, cls1_stats, high, low, 1, ks[4])
+            o2, new_c2 = heads(cls2, cls2_stats, high, low, 1, ks[5])
+            cdd = discrepancy(
+                o1.mask_logits.astype(jnp.float32), o2.mask_logits.astype(jnp.float32)
+            ) + discrepancy(
+                o1.boundary_logits.astype(jnp.float32), o2.boundary_logits.astype(jnp.float32)
+            )
+            return cdd, (new_bb, new_c1, new_c2)
+
+        (cdd_after, (bb_stats, cls1_stats, cls2_stats)), grad_c = jax.value_and_grad(
+            loss_c, has_aux=True
+        )(fea)
+        upd_f, opt["fea"] = tx.update(grad_c, opt["fea"], fea)
+        fea = optim_lib.apply_updates(fea, upd_f, lr_gen)
+
+        metrics = {
+            "loss_seg": l_a,
+            "loss_cdd_before": cdd_before,
+            "loss_cdd_after": cdd_after,
+            "loss_all": l_a + cdd_after,
+            "_viz": viz,
+        }
+        new_state = state.replace(
+            step=state.step + 1,
+            rng=rng,
+            gen_params={**fea, **cls1},
+            gen_stats={**bb_stats, **cls1_stats},
+            cls2_params=cls2,
+            cls2_stats=cls2_stats,
+            bcdm_opt=opt,
+        )
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=0)
+
+
 def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool = False):
     """Build the jitted train step for a method.
 
@@ -192,6 +355,8 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
     Scalar inputs: lr_gen, lr_dis, epoch (traced — no retraces across
     epochs).
     """
+    if method == "bcdm":
+        return make_bcdm_step(model, cfg)
     mcfg = cfg.method
     tx_gen = optim_lib.adam_direction(cfg.optim.adam_b1, cfg.optim.adam_b2)
     tx_dis = optim_lib.sgd_direction(cfg.optim.sgd_momentum, cfg.optim.weight_decay)

@@ -33,7 +33,7 @@ from uda_clr_tpu.utils.logging import CsvLogger, ScalarWriter, StepTimer
 from uda_clr_tpu.utils.metrics import dice_coeff_2label, pixel_acc
 from uda_clr_tpu.utils.ramps import get_current_consistency_weight
 
-_ADVERSARIAL_METHODS = {"adversarial", "prototype", "prototype_full", "prototype_mt", "mean_teacher"}
+_ADVERSARIAL_METHODS = {"adversarial", "prototype", "prototype_full", "prototype_mt", "mean_teacher", "bcdm"}
 
 
 class Trainer:
@@ -107,6 +107,7 @@ class Trainer:
             cfg.optim,
             with_teacher=(self.method == "mean_teacher"),
             with_proto_bank=(self.method == "prototype"),
+            with_cls2=(self.method == "bcdm"),
         )
         if self.method == "prototype" and cfg.method.prototype_bank_path:
             bank = np.load(cfg.method.prototype_bank_path)
