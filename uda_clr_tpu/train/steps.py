@@ -78,6 +78,80 @@ def _dropout_key(k, impl: str):
     return k
 
 
+def _deep_merge(base, upd):
+    """Merge a partial mutated batch_stats tree over the full one (flax
+    returns only the modules visited by a split apply)."""
+    out = dict(base)
+    for k, v in upd.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def _mc_suffix(model, params, stats, feat_predrop, ll, hw, b, t_samples: int,
+               rng, rng_impl: str, mask_head_impl: str):
+    """T dropout-sampled head passes from a (deterministic) prefix:
+    replicate T times at the first dropout site, run the boundary path as
+    one flat T*B batch, finish with the fused Pallas mask-head epilogue.
+    Returns stop-gradiented [T, B, H, W, 2] mask logits (callers must also
+    pass stop-gradiented params/inputs when tracing under a grad)."""
+    H, W = hw
+    variables = {"params": params, "batch_stats": stats}
+    # Flat T*B repeated batch instead of a vmap over T keys: elementwise
+    # dropout under ONE key gives i.i.d. masks per repeated sample, and
+    # BN moments over T identical copies equal the per-forward moments —
+    # mathematically the same sampling, but XLA sees one large clean
+    # NHWC batch (no strided vmap layouts, one rng call per layer).
+    k_heads, k_mask = jax.random.split(rng)
+    feat_rep = jnp.concatenate([feat_predrop] * t_samples, axis=0)
+    ll_rep = jnp.concatenate([ll] * t_samples, axis=0)
+    x_bu, boundary = model.apply(
+        variables, feat_rep, ll_rep, True, 1,
+        method="heads_suffix_bound",
+        rngs={"dropout": _dropout_key(k_heads, rng_impl)},
+    )
+    # Mask head via the fused Pallas epilogue (BN apply + relu +
+    # dropout + 1x1 conv in one streaming pass — the 305-channel
+    # concat never materializes; ops/pallas/mask_head.py). Batch
+    # moments of the virtual concat decompose per channel; computed
+    # here exactly like models/norm.py:_batch_moments.
+    from uda_clr_tpu.ops.pallas.mask_head import fused_mask_head
+
+    def _moments(t):
+        t32 = t.astype(jnp.float32)
+        mean = jnp.mean(t32, axis=(0, 1, 2))
+        var = jnp.maximum(
+            jnp.mean(jnp.square(t32), axis=(0, 1, 2)) - jnp.square(mean), 0.0
+        )
+        return mean, var
+
+    mu_x, var_x = _moments(x_bu)
+    mu_b, var_b = _moments(boundary)
+    dec = params["decoder"]
+    # honor the global dropout kill-switch (step-parity harness runs
+    # dropout-free); rate is read at trace time like TpuDropout's
+    from uda_clr_tpu.models import layers as layers_lib
+
+    drop_rate = 0.0 if layers_lib._DROPOUT_IMPL == "off" else 0.1
+    # (Feeding (h,w,n,c)-transposed views to share bound_conv1's
+    # {3,0,2,1} buffer as a bitcast was A/B'd: 145.8 vs 144.0 ms/step,
+    # no win — XLA materialized the transpose. Kept simple.)
+    x1 = fused_mask_head(
+        x_bu, boundary,
+        jnp.concatenate([mu_x, mu_b]), jnp.concatenate([var_x, var_b]),
+        dec["mask_bn"]["scale"], dec["mask_bn"]["bias"],
+        dec["mask_out"]["conv"]["kernel"], dec["mask_out"]["conv"]["bias"],
+        k_mask, rate=drop_rate,
+        impl="xla" if drop_rate == 0.0 else mask_head_impl,
+    )
+    from uda_clr_tpu.ops.resize import resize_bilinear_align_corners
+
+    mc = resize_bilinear_align_corners(x1, (H, W)).reshape(t_samples, b, H, W, -1)
+    return jax.lax.stop_gradient(mc)
+
+
 def _mc_dropout_forward(model, params, stats, imageT, rng, t_samples: int,
                         fast: bool, rng_impl: str, mask_head_impl: str = "auto"):
     """T MC-dropout mask-logit samples of the target batch, [T, B, H, W, 2].
@@ -113,62 +187,15 @@ def _mc_dropout_forward(model, params, stats, imageT, rng, t_samples: int,
         # (identical moments) and every conv identical inputs — pure waste
         # (measured ~9 ms/step at the flagship shapes). Replication happens
         # at the first dropout site instead; bit-identical numerics.
+        # (The flagship step avoids even this batch-B pass by reusing the
+        # main S||T forward's target half — see make_train_step's inline
+        # MC path; this standalone entry remains for the slow/TN paths and
+        # direct callers.)
         feat_predrop, ll = model.apply(
             variables, high, low, True, 1, method="heads_prefix"
         )
-        # Flat T*B repeated batch instead of a vmap over T keys: elementwise
-        # dropout under ONE key gives i.i.d. masks per repeated sample, and
-        # BN moments over T identical copies equal the per-forward moments —
-        # mathematically the same sampling, but XLA sees one large clean
-        # NHWC batch (no strided vmap layouts, one rng call per layer).
-        k_heads, k_mask = jax.random.split(rng)
-        feat_rep = jnp.concatenate([feat_predrop] * t_samples, axis=0)
-        ll_rep = jnp.concatenate([ll] * t_samples, axis=0)
-        x_bu, boundary = model.apply(
-            variables, feat_rep, ll_rep, True, 1,
-            method="heads_suffix_bound",
-            rngs={"dropout": _dropout_key(k_heads, rng_impl)},
-        )
-        # Mask head via the fused Pallas epilogue (BN apply + relu +
-        # dropout + 1x1 conv in one streaming pass — the 305-channel
-        # concat never materializes; ops/pallas/mask_head.py). Batch
-        # moments of the virtual concat decompose per channel; computed
-        # here exactly like models/norm.py:_batch_moments.
-        from uda_clr_tpu.ops.pallas.mask_head import fused_mask_head
-
-        def _moments(t):
-            t32 = t.astype(jnp.float32)
-            mean = jnp.mean(t32, axis=(0, 1, 2))
-            var = jnp.maximum(
-                jnp.mean(jnp.square(t32), axis=(0, 1, 2)) - jnp.square(mean), 0.0
-            )
-            return mean, var
-
-        mu_x, var_x = _moments(x_bu)
-        mu_b, var_b = _moments(boundary)
-        dec = params["decoder"]
-        # honor the global dropout kill-switch (step-parity harness runs
-        # dropout-free); rate is read at trace time like TpuDropout's
-        from uda_clr_tpu.models import layers as layers_lib
-
-        drop_rate = 0.0 if layers_lib._DROPOUT_IMPL == "off" else 0.1
-        # (Feeding (h,w,n,c)-transposed views to share bound_conv1's
-        # {3,0,2,1} buffer as a bitcast was A/B'd: 145.8 vs 144.0 ms/step,
-        # no win — XLA materialized the transpose. Kept simple.)
-        x1 = fused_mask_head(
-            x_bu, boundary,
-            jnp.concatenate([mu_x, mu_b]), jnp.concatenate([var_x, var_b]),
-            dec["mask_bn"]["scale"], dec["mask_bn"]["bias"],
-            dec["mask_out"]["conv"]["kernel"], dec["mask_out"]["conv"]["bias"],
-            k_mask, rate=drop_rate,
-            impl="xla" if drop_rate == 0.0 else mask_head_impl,
-        )
-        from uda_clr_tpu.ops.resize import resize_bilinear_align_corners
-
-        mc = resize_bilinear_align_corners(x1, (H, W)).reshape(
-            t_samples, b, H, W, -1
-        )
-        return jax.lax.stop_gradient(mc)
+        return _mc_suffix(model, params, stats, feat_predrop, ll, (H, W), b,
+                          t_samples, rng, rng_impl, mask_head_impl)
 
     lanes = max(t_samples // 2, 1)
     x_rep = jnp.concatenate([imageT, imageT], axis=0)
@@ -386,8 +413,18 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
             x_all = image_s
 
         # ---- MC-dropout rectification (no-grad), done once per step ----
+        # Fast path: inlined into gen_loss_fn below — the main S||T forward
+        # with domains=2 normalizes the target half with target-only batch
+        # moments, so its (aspp-predrop, low-level) target slices are
+        # BIT-IDENTICAL to a standalone batch-B backbone+prefix pass on
+        # image_t; reusing them (stop-gradiented) eliminates the entire MC
+        # backbone recompute. Slow/TN path keeps the standalone forwards.
+        mc_inline = (
+            use_proto_full and mcfg.retrify_pseudo and use_adv
+            and mcfg.mc_fast and model.norm == "bn"
+        )
         mc_logits = None
-        if use_proto_full and mcfg.retrify_pseudo:
+        if use_proto_full and mcfg.retrify_pseudo and not mc_inline:
             mc_logits = _mc_dropout_forward(
                 model, state.gen_params, state.gen_stats, image_t, k_mc,
                 mcfg.mc_samples, fast=mcfg.mc_fast and model.norm == "bn",
@@ -406,10 +443,51 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
 
         # ---- generator loss (one fused forward) ----
         def gen_loss_fn(gen_params):
-            outs, upd = _gen_apply(
-                model, gen_params, state.gen_stats, x_all, k_fwd, True,
-                2 if use_adv else 1, mutable=True,
-            )
+            if mc_inline:
+                # split apply (features -> prefix -> suffix) so the target
+                # halves of the prefix can seed the MC sampling
+                variables = {"params": gen_params, "batch_stats": state.gen_stats}
+                (high, low), u1 = model.apply(
+                    variables, x_all, True, 2, method="features",
+                    mutable=["batch_stats"],
+                )
+                (fp_all, ll_all), u2 = model.apply(
+                    variables, high, low, True, 2, method="heads_prefix",
+                    mutable=["batch_stats"],
+                )
+                outs, u3 = model.apply(
+                    variables, fp_all, ll_all,
+                    (x_all.shape[1], x_all.shape[2]), True, 2,
+                    method="heads_suffix", mutable=["batch_stats"],
+                    rngs={"dropout": k_fwd},
+                )
+                # each apply saw the ORIGINAL stats and returns the full
+                # collection with only its own modules updated — pick every
+                # subtree from the apply that ran it (backbone from the
+                # features pass; ASPP + decoder.low_bn from the prefix;
+                # the decoder head BNs from the suffix)
+                new_stats = dict(state.gen_stats)
+                new_stats["backbone"] = u1["batch_stats"]["backbone"]
+                new_stats["aspp"] = u2["batch_stats"]["aspp"]
+                new_stats["decoder"] = _deep_merge(
+                    u3["batch_stats"]["decoder"],
+                    {"low_bn": u2["batch_stats"]["decoder"]["low_bn"]},
+                )
+                upd = {"batch_stats": new_stats}
+                mc_local = _mc_suffix(
+                    model, jax.tree.map(jax.lax.stop_gradient, gen_params),
+                    state.gen_stats,
+                    jax.lax.stop_gradient(fp_all[b:]),
+                    jax.lax.stop_gradient(ll_all[b:]),
+                    (x_all.shape[1], x_all.shape[2]), b, mcfg.mc_samples,
+                    k_mc, mcfg.rng_impl, getattr(mcfg, "mask_head_impl", "auto"),
+                ).astype(jnp.float32)
+            else:
+                outs, upd = _gen_apply(
+                    model, gen_params, state.gen_stats, x_all, k_fwd, True,
+                    2 if use_adv else 1, mutable=True,
+                )
+                mc_local = mc_logits
             aux = {"stats": upd["batch_stats"]}
             if use_adv:
                 out_s, out_t = _split(outs, b)
@@ -472,7 +550,7 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
                     rect = P.gen_prototype_retrify(
                         out_t.mask_before.astype(jnp.float32),
                         out_t.x_feature.astype(jnp.float32),
-                        mc_logits,
+                        mc_local,
                         mcfg.pseudo_threshold,
                         mcfg.std_threshold,
                     )
