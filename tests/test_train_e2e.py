@@ -98,7 +98,7 @@ def test_other_methods_one_epoch(tmp_path, method):
         assert "loss_aug" in m and "loss_src_reg" in m
 
 
-@pytest.mark.parametrize("backbone", ["resnet"])
+@pytest.mark.parametrize("backbone", ["resnet", "xception", "drn"])
 def test_secondary_backbone_train_smoke(tmp_path, backbone):
     """VERDICT r1 item 4: at least one non-mobilenet backbone must survive a
     real (tiny) train epoch, not just a shape check."""
@@ -140,3 +140,25 @@ def test_bcdm_one_epoch(tmp_path):
     # validation (classifier 1) still works
     val = tr.validate()
     assert 0.0 <= val["cup_dice"] <= 1.0
+
+
+def test_bcdm_checkpoint_roundtrip(tmp_path):
+    """The bcdm-only state (cls2 params/stats + the three Adam states)
+    must survive an orbax save/restore."""
+    from uda_clr_tpu.train import checkpoint as ckpt_lib
+    from uda_clr_tpu.train.trainer import Trainer
+
+    cfg = _tiny_cfg(tmp_path, "bcdm")
+    tr = Trainer(cfg)
+    tr.train_epoch()
+    ckpt_dir = str(tmp_path / "bcdm" / "checkpoints")
+    ckpt_lib.save_checkpoint(ckpt_dir, tr.state, epoch=0, best_mean_dice=0.25, tag="checkpoint_1")
+
+    cfg2 = _tiny_cfg(tmp_path, "bcdm")
+    cfg2.run.out_dir = str(tmp_path / "bcdm_resume")
+    cfg2.run.resume = ckpt_dir
+    tr2 = Trainer(cfg2)
+    a = np.asarray(tr.state.cls2_params["decoder"]["mask_out"]["conv"]["kernel"])
+    b = np.asarray(tr2.state.cls2_params["decoder"]["mask_out"]["conv"]["kernel"])
+    np.testing.assert_array_equal(a, b)
+    assert tr2.state.bcdm_opt is not None
