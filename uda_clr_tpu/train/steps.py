@@ -698,27 +698,25 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
             ent_s = L.entropy_map(out_s.mask_logits.astype(jnp.float32)).astype(compute_dtype)
             ent_t = L.entropy_map(out_t.mask_logits.astype(jnp.float32)).astype(compute_dtype)
 
-            # One fused S‖T discriminator pass per D: with equal halves,
-            # 2 * BCE(concat, [1;0]) == BCE(S,1) + BCE(T,0) exactly
-            # (identical value and gradients to the reference's two passes,
-            # Trainer_prototype_full.py:479-513) at twice the MXU batch.
+            # Separate S and T discriminator passes, matching the
+            # reference's structure (Trainer_prototype_full.py:479-513):
+            # BCE(S,1) + BCE(T,0), identical value to the previously-used
+            # 2*BCE(concat,[1;0]) fusion. Separate passes are FASTER here:
+            # stop_gradient is identity in HLO, so the T pass below is the
+            # SAME subgraph as the generator loss's D(T) forward above and
+            # XLA CSE computes it once — the 2x-batch concat pass could
+            # never share it (different shapes).
             def dis_loss_fn(p):
-                out = DIS.apply(
-                    {"params": p}, jnp.concatenate([sig_bs, sig_bt], axis=0)
-                ).astype(jnp.float32)
-                labels = jnp.concatenate(
-                    [jnp.ones_like(out[:b]), jnp.zeros_like(out[b:])], axis=0
-                )
-                return 2.0 * L.bce_with_logits(out, labels)
+                out_s = DIS.apply({"params": p}, sig_bs).astype(jnp.float32)
+                out_t = DIS.apply({"params": p}, sig_bt).astype(jnp.float32)
+                return L.bce_with_logits(out_s, jnp.ones_like(out_s)) + \
+                    L.bce_with_logits(out_t, jnp.zeros_like(out_t))
 
             def dis2_loss_fn(p):
-                out = DIS2.apply(
-                    {"params": p}, jnp.concatenate([ent_s, ent_t], axis=0)
-                ).astype(jnp.float32)
-                labels = jnp.concatenate(
-                    [jnp.ones_like(out[:b]), jnp.zeros_like(out[b:])], axis=0
-                )
-                return 2.0 * L.bce_with_logits(out, labels)
+                out_s = DIS2.apply({"params": p}, ent_s).astype(jnp.float32)
+                out_t = DIS2.apply({"params": p}, ent_t).astype(jnp.float32)
+                return L.bce_with_logits(out_s, jnp.ones_like(out_s)) + \
+                    L.bce_with_logits(out_t, jnp.zeros_like(out_t))
 
             loss_d, dis_grads = jax.value_and_grad(dis_loss_fn)(state.dis_params)
             loss_d2, dis2_grads = jax.value_and_grad(dis2_loss_fn)(state.dis2_params)
