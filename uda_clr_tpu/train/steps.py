@@ -41,8 +41,6 @@ from uda_clr_tpu.ops.resize import resize_nearest
 from uda_clr_tpu.train import optim as optim_lib
 from uda_clr_tpu.train.state import TrainState
 
-import functools
-
 
 @functools.lru_cache(maxsize=4)
 def _discriminators(dtype_name: str):
