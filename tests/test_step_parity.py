@@ -47,7 +47,7 @@ def _zero_torch_dropout(model):
             m.p = 0.0
 
 
-def _make_batch(rng, seed_shift=0):
+def _make_batch(rng):
     img_s = rng.standard_normal((B, SIZE, SIZE, 3)).astype(np.float32)
     map_s = (rng.uniform(0, 1, (B, SIZE, SIZE, 2)) > 0.5).astype(np.float32)
     bnd_s = rng.uniform(0, 1, (B, SIZE, SIZE, 1)).astype(np.float32)

@@ -169,7 +169,13 @@ def fused_mask_head(x_bu, boundary, mean, var, scale, bias, w, w_bias, key,
     use_pallas = impl in ("pallas", "interpret") or (
         impl == "auto" and jax.default_backend() == "tpu" and jax.device_count() == 1
     )
-    if use_pallas and mask_head_supported(x_bu.shape):
+    # the kernel is specialized to the reference's 304+1 -> 2 mask head
+    shapes_ok = (
+        mask_head_supported(x_bu.shape)
+        and x_bu.shape[-1] == 304
+        and w.size == 305 * 2
+    )
+    if use_pallas and shapes_ok:
         return _fused(x_bu, boundary, mean, var, scale, bias, w, w_bias,
                       rate, eps, impl == "interpret", seed=seed_from_key(key))
     return _xla_reference(x_bu, boundary, mean, var, scale, bias, w, w_bias,
