@@ -43,7 +43,7 @@ def main():
     from uda_clr_tpu.train.steps import make_train_step
 
     # kernel-backend A/B knobs (default = shipped configuration)
-    set_dropout_impl(os.environ.get("UDA_DROPOUT_IMPL", "xla"))
+    set_dropout_impl(os.environ.get("UDA_DROPOUT_IMPL", "xla16"))
     set_moments_impl(os.environ.get("UDA_MOMENTS_IMPL", "xla"))
 
     size, batch = 512, 8

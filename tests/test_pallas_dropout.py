@@ -107,3 +107,21 @@ def test_tpu_blocks_decorrelated():
     y = np.asarray(dropout_pallas(x, jnp.int32(5), 0.5)).reshape(-1, 256)
     half = y.shape[0] // 2
     assert (y[:half] != y[half:]).any()
+
+
+def test_xla16_dropout_statistics_and_scaling():
+    """The default 16-bit-words dropout backend: keep fraction within
+    2^-16 quantization of the rate, survivors scaled exactly 1/keep."""
+    import numpy as np
+    from uda_clr_tpu.models import layers as layers_lib
+
+    layers_lib.set_dropout_impl("xla16")
+    try:
+        m = layers_lib.TpuDropout(0.1)
+        x = jnp.ones((4, 64, 64, 256))
+        y = np.asarray(m.apply({}, x, False, rngs={"dropout": jax.random.PRNGKey(0)}))
+        keep_frac = (y > 0).mean()
+        assert abs(keep_frac - 0.9) < 5e-3
+        np.testing.assert_allclose(y[y > 0], 1.0 / 0.9, rtol=1e-6)
+    finally:
+        layers_lib.set_dropout_impl("xla16")

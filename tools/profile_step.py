@@ -40,7 +40,7 @@ def main():
     from uda_clr_tpu.train.steps import make_train_step
     from uda_clr_tpu.utils.xplane import latest_trace, op_totals
 
-    set_dropout_impl(os.environ.get("UDA_DROPOUT_IMPL", "xla"))
+    set_dropout_impl(os.environ.get("UDA_DROPOUT_IMPL", "xla16"))
     set_moments_impl(os.environ.get("UDA_MOMENTS_IMPL", "xla"))
 
     size, batch = args.size, args.batch

@@ -68,26 +68,34 @@ def fixed_padding(x: jnp.ndarray, kernel_size: int, dilation: int) -> jnp.ndarra
     return jnp.pad(x, [(0, 0), (beg, end), (beg, end), (0, 0)])
 
 
-# Dropout backend: 'xla' (default) = jax.random.bernoulli, which XLA
-# fuses into the surrounding elementwise graph; 'auto'/'pallas' = the
-# fused Pallas kernel on TPU (ops/pallas/dropout.py) — measured SLOWER
-# end-to-end on real v5e hardware (A/B on the flagship bench: 159.9 ms vs
-# 151.4 ms per step), because the custom call is a fusion barrier: XLA's
-# bernoulli+select melts into the producer/consumer fusions and its
-# random bits never round-trip HBM, while the kernel forces a separate
-# read of x and write of the output. Kept as an opt-in for future
-# shapes/hardware where the tradeoff flips. 'off' makes every dropout an
-# identity while BN stays in train mode — used by the step-level parity
-# harness, where torch/JAX dropout masks cannot be made to coincide
-# (tests/test_step_parity.py zeroes the torch ps to match).
+# Dropout backend:
+#   'xla16' (default) — 16-bit RngBitGenerator words + compare: half the
+#     random-bit HBM traffic of the uint32 bernoulli draw; measured
+#     139.2 -> 135.1 ms/step on the flagship bench. Keep probability is
+#     quantized to 2^-16 (<=2e-5 absolute rate deviation, orders of
+#     magnitude below the losses' step-to-step noise).
+#   'xla' — jax.random.bernoulli (uint32), the exact flax/torch-rate
+#     semantics.
+#   'auto'/'pallas' — the fused Pallas kernel on TPU
+#     (ops/pallas/dropout.py) — measured SLOWER end-to-end on real v5e
+#     hardware (A/B on the flagship bench: 159.9 ms vs 151.4 ms per
+#     step), because the custom call is a fusion barrier: XLA's
+#     bernoulli+select melts into the producer/consumer fusions and its
+#     random bits never round-trip HBM, while the kernel forces a
+#     separate read of x and write of the output. Kept as an opt-in for
+#     future shapes/hardware where the tradeoff flips.
+#   'off' — every dropout an identity while BN stays in train mode; used
+#     by the step-level parity harness, where torch/JAX dropout masks
+#     cannot be made to coincide (tests/test_step_parity.py zeroes the
+#     torch ps to match).
 # Global for the same reason as models/norm.py's moments switch: read at
 # trace time.
-_DROPOUT_IMPL = "xla"
+_DROPOUT_IMPL = "xla16"
 
 
 def set_dropout_impl(impl: str) -> None:
     global _DROPOUT_IMPL
-    assert impl in ("auto", "xla", "pallas", "off"), impl
+    assert impl in ("auto", "xla", "xla16", "pallas", "off"), impl
     _DROPOUT_IMPL = impl
 
 
@@ -115,7 +123,18 @@ class TpuDropout(nn.Module):
         if use_pallas and dropout_supported(x.shape, jnp.dtype(x.dtype).itemsize):
             return dropout_pallas(x, seed_from_key(key), self.rate)
         keep = 1.0 - self.rate
-        mask = jax.random.bernoulli(key, keep, x.shape)
+        if impl == "xla16":
+            # 16-bit random words: half the RngBitGenerator HBM traffic of
+            # jax.random.bernoulli's uint32 draw. Keep probability is
+            # quantized to 2^-16 (e.g. 0.9 -> 58982/65536 = 0.899994, a
+            # <=2e-5 absolute rate deviation — far below the run-to-run
+            # noise of the stochastic losses). Masks remain i.i.d.
+            # Bernoulli; bench A/B decides whether this ships as default.
+            bits = jax.random.bits(key, x.shape, jnp.uint16)
+            thr = min(int(round(keep * 65536.0)), 65535)
+            mask = bits < jnp.uint16(thr)
+        else:
+            mask = jax.random.bernoulli(key, keep, x.shape)
         return jnp.where(mask, x / keep, 0).astype(x.dtype)
 
 
