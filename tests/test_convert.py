@@ -80,3 +80,20 @@ def test_merge_pretrained_filters_shapes():
     assert n == 1
     np.testing.assert_array_equal(out["x"]["w"], np.ones((2, 2)))
     np.testing.assert_array_equal(out["x"]["b"], np.zeros(3))  # shape mismatch skipped
+
+
+def test_raw_imagenet_backbone_import():
+    """RAW backbone checkpoints (the reference's hard-coded ImageNet zoo
+    files: 'features....' mobilenet keys / torchvision 'layer1....' resnet
+    keys, no 'backbone.' prefix) import through the same converter."""
+    torch.manual_seed(2)
+    tm = TorchDeepLab(num_classes=2, output_stride=16)
+    # simulate the zoo file: backbone-only keys without the prefix
+    sd = {k[len("backbone."):]: v.numpy() for k, v in tm.state_dict().items()
+          if k.startswith("backbone.") and "num_batches_tracked" not in k}
+    params, stats = convert_deeplab_state_dict(sd, output_stride=16)
+    assert "backbone" in params and "stem" in params["backbone"]
+    np.testing.assert_array_equal(
+        params["backbone"]["stem"]["conv"]["kernel"],
+        sd["features.0.0.weight"].transpose(2, 3, 1, 0),
+    )

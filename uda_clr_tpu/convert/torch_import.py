@@ -178,6 +178,13 @@ def convert_deeplab_state_dict(sd: dict, output_stride: int = 16) -> tuple[dict,
     supported, enabling ImageNet/pretrained and checkpoint import for
     each — reference backbone/{mobilenet,resnet,xception,drn}.py)."""
     sd = {k: np.asarray(v) for k, v in sd.items()}
+    # RAW backbone files (the ImageNet zoo checkpoints the reference
+    # hard-codes: backbone/mobilenet.py:124-133 'features....' keys,
+    # resnet.py:141 torchvision 'conv1/layer1....' keys) come without the
+    # 'backbone.' prefix a full-model state_dict has — normalize so both
+    # import through the same layouts.
+    if not any(k.startswith(("backbone.", "aspp.", "decoder.")) for k in sd):
+        sd = {f"backbone.{k}": v for k, v in sd.items()}
     params: dict = {}
     stats: dict = {}
 
