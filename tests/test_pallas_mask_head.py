@@ -97,3 +97,47 @@ def test_pallas_tpu_statistics():
     ref = np.asarray(fused_mask_head(*args, key, rate=0.1, impl="xla")).astype(np.float32)
     assert np.abs(got.mean() - ref.mean()) < 0.05
     assert np.abs(got.std() - ref.std()) < 0.1
+
+
+def test_split_kernel_interpret_structure():
+    """Three-input variant (x_up[256] + ll[48] + boundary[1]): interpret
+    mode (stubbed PRNG keeps everything) equals the dropout-free epilogue
+    scaled by 1/keep."""
+    from uda_clr_tpu.ops.pallas.mask_head import fused_mask_head_split
+
+    rng = np.random.default_rng(5)
+    n, hw = 2, 16
+    x_up = jnp.asarray(rng.standard_normal((n, hw, hw, 256)), jnp.float32)
+    ll = jnp.asarray(rng.standard_normal((n, hw, hw, 48)), jnp.float32)
+    bnd = jnp.asarray(rng.standard_normal((n, hw, hw, 1)), jnp.float32)
+    mean = jnp.asarray(rng.standard_normal(305), jnp.float32) * 0.1
+    var = jnp.asarray(rng.uniform(0.5, 2.0, 305), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(305), jnp.float32) * 0.2 + 1.0
+    bias = jnp.asarray(rng.standard_normal(305), jnp.float32) * 0.1
+    w = jnp.asarray(rng.standard_normal((1, 1, 305, 2)), jnp.float32) * 0.05
+    w_bias = jnp.asarray(rng.standard_normal(2), jnp.float32) * 0.1
+    rate = 0.1
+    got = fused_mask_head_split(x_up, ll, bnd, mean, var, scale, bias, w,
+                                w_bias, jax.random.PRNGKey(9), rate=rate,
+                                impl="interpret")
+    xf = jnp.concatenate([x_up, ll, bnd], axis=-1)
+    inv = jax.lax.rsqrt(var + 1e-5)
+    h = jax.nn.relu((xf - mean) * (inv * scale) + bias) / (1.0 - rate)
+    want = jnp.einsum("nhwc,co->nhwo", h, w.reshape(305, 2)) + w_bias
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_split_kernel_xla_fallback_matches_joint():
+    """CPU fallback of the split entry equals the joint entry for the
+    same key (both concat + _xla_reference)."""
+    from uda_clr_tpu.ops.pallas.mask_head import fused_mask_head_split
+
+    args = _inputs(seed=6)
+    x_bu, bnd, mean, var, scale, bias, w, w_bias = args
+    key = jax.random.PRNGKey(4)
+    joint = fused_mask_head(x_bu, bnd, mean, var, scale, bias, w, w_bias,
+                            key, rate=0.1, impl="xla")
+    split = fused_mask_head_split(x_bu[..., :256], x_bu[..., 256:], bnd,
+                                  mean, var, scale, bias, w, w_bias,
+                                  key, rate=0.1, impl="xla")
+    np.testing.assert_allclose(np.asarray(joint), np.asarray(split), rtol=1e-6)

@@ -151,6 +151,101 @@ def _xla_reference(x_bu, boundary, mean, var, scale, bias, w, w_bias,
     return (out + w_bias).astype(dt)
 
 
+def _kernel_split(seed_ref, x_ref, ll_ref, bnd_ref, mu_ref, a_ref, beta_ref,
+                  wx_ref, wll_ref, wtail_ref, o_ref, *, threshold: int,
+                  inv_keep: float):
+    """Three-part variant: the mask head's 305 input channels arrive as
+    x_up[256] + ll[48] + boundary[1] — the concat never exists anywhere."""
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0, 0] + i * jnp.int32(_GOLDEN))
+
+    def part(ref, lo, hi):
+        x = ref[:]
+        dt = x.dtype
+        h = (x - mu_ref[0:1, lo:hi].astype(dt)) * a_ref[0:1, lo:hi].astype(dt) \
+            + beta_ref[0:1, lo:hi].astype(dt)
+        h = jnp.maximum(h, jnp.zeros((), dt))
+        n = hi - lo
+        shape = (x.shape[0], max(n, 128)) if n < 128 else h.shape
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        return jnp.where(bits[:, :n] < jnp.uint32(threshold),
+                         h * jnp.asarray(inv_keep, dt), 0)
+
+    hx = part(x_ref, 0, 256)
+    acc = jnp.dot(hx, wx_ref[:].astype(hx.dtype), preferred_element_type=jnp.float32)
+    hl = part(ll_ref, 256, 304)
+    acc = acc + jnp.dot(hl, wll_ref[:, :2].astype(hl.dtype),
+                        preferred_element_type=jnp.float32)
+    hb = part(bnd_ref, 304, 305)
+    acc = acc + hb.astype(jnp.float32) * wtail_ref[0:1, :2].astype(jnp.float32)
+    acc = acc + wtail_ref[1:2, :2].astype(jnp.float32)
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("rate", "eps", "interpret"))
+def _fused_split(x_up, ll, boundary, mean, var, scale, bias, w, w_bias,
+                 rate: float, eps: float, interpret: bool = False, *, seed):
+    n, H, W, _ = x_up.shape
+    m = n * H * W
+    bm = _pick_block_rows(m)
+    assert bm is not None, f"unsupported mask-head shape {x_up.shape}"
+    keep = 1.0 - rate
+    threshold = min(int(keep * 2.0**32), 2**32 - 1)
+
+    inv = jax.lax.rsqrt(var + eps)
+    a = (inv * scale).astype(jnp.float32)[None, :]
+    mu = mean.astype(jnp.float32)[None, :]
+    beta = bias.astype(jnp.float32)[None, :]
+    w2 = w.reshape(305, -1).astype(jnp.float32)
+    wtail = jnp.stack([w2[304], w_bias.astype(jnp.float32)])  # [2, 2]
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_split, threshold=threshold, inv_keep=1.0 / keep),
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, 256), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 48), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 305), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 305), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 305), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((256, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((48, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, 2), x_up.dtype),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed.reshape(1, 1), x_up.reshape(m, 256), ll.reshape(m, 48),
+      boundary.reshape(m, 1), mu, a, beta, w2[:256], w2[256:304], wtail)
+    return out.reshape(n, H, W, 2)
+
+
+def fused_mask_head_split(x_up, ll, boundary, mean, var, scale, bias, w,
+                          w_bias, key, rate: float = 0.1, eps: float = 1e-5,
+                          impl: str = "auto"):
+    """Three-input mask-head epilogue for the hand-scheduled MC boundary
+    path (train/steps.py:_mc_suffix): the 305 channels arrive as
+    x_up[256] + ll[48] + boundary[1] in the concat's channel order, so the
+    [.,304]/[.,305] concats never materialize. Same semantics as
+    :func:`fused_mask_head`."""
+    use_pallas = impl in ("pallas", "interpret") or (
+        impl == "auto" and jax.default_backend() == "tpu" and jax.device_count() == 1
+    )
+    shapes_ok = (
+        mask_head_supported(x_up.shape)
+        and x_up.shape[-1] == 256 and ll.shape[-1] == 48
+        and w.size == 305 * 2
+    )
+    if use_pallas and shapes_ok:
+        return _fused_split(x_up, ll, boundary, mean, var, scale, bias, w,
+                            w_bias, rate, eps, impl == "interpret",
+                            seed=seed_from_key(key))
+    return _xla_reference(jnp.concatenate([x_up, ll], axis=-1), boundary,
+                          mean, var, scale, bias, w, w_bias, rate, eps, key)
+
+
 def fused_mask_head(x_bu, boundary, mean, var, scale, bias, w, w_bias, key,
                     rate: float = 0.1, eps: float = 1e-5,
                     impl: str = "auto"):

@@ -88,64 +88,123 @@ def _deep_merge(base, upd):
     return out
 
 
-def _mc_suffix(model, params, stats, feat_predrop, ll, hw, b, t_samples: int,
-               rng, rng_impl: str, mask_head_impl: str):
-    """T dropout-sampled head passes from a (deterministic) prefix:
-    replicate T times at the first dropout site, run the boundary path as
-    one flat T*B batch, finish with the fused Pallas mask-head epilogue.
-    Returns stop-gradiented [T, B, H, W, 2] mask logits (callers must also
-    pass stop-gradiented params/inputs when tracing under a grad)."""
-    H, W = hw
-    variables = {"params": params, "batch_stats": stats}
-    # Flat T*B repeated batch instead of a vmap over T keys: elementwise
-    # dropout under ONE key gives i.i.d. masks per repeated sample, and
-    # BN moments over T identical copies equal the per-forward moments —
-    # mathematically the same sampling, but XLA sees one large clean
-    # NHWC batch (no strided vmap layouts, one rng call per layer).
-    k_heads, k_mask = jax.random.split(rng)
-    feat_rep = jnp.concatenate([feat_predrop] * t_samples, axis=0)
-    ll_rep = jnp.concatenate([ll] * t_samples, axis=0)
-    x_bu, boundary = model.apply(
-        variables, feat_rep, ll_rep, True, 1,
-        method="heads_suffix_bound",
-        rngs={"dropout": _dropout_key(k_heads, rng_impl)},
+def _moments_f32(t):
+    """Batch moments over (N,H,W), exactly models/norm.py:_batch_moments."""
+    t32 = t.astype(jnp.float32)
+    mean = jnp.mean(t32, axis=(0, 1, 2))
+    var = jnp.maximum(
+        jnp.mean(jnp.square(t32), axis=(0, 1, 2)) - jnp.square(mean), 0.0
     )
-    # Mask head via the fused Pallas epilogue (BN apply + relu +
-    # dropout + 1x1 conv in one streaming pass — the 305-channel
-    # concat never materializes; ops/pallas/mask_head.py). Batch
-    # moments of the virtual concat decompose per channel; computed
-    # here exactly like models/norm.py:_batch_moments.
-    from uda_clr_tpu.ops.pallas.mask_head import fused_mask_head
+    return mean, var
 
-    def _moments(t):
-        t32 = t.astype(jnp.float32)
-        mean = jnp.mean(t32, axis=(0, 1, 2))
-        var = jnp.maximum(
-            jnp.mean(jnp.square(t32), axis=(0, 1, 2)) - jnp.square(mean), 0.0
-        )
-        return mean, var
 
-    mu_x, var_x = _moments(x_bu)
-    mu_b, var_b = _moments(boundary)
-    dec = params["decoder"]
-    # honor the global dropout kill-switch (step-parity harness runs
-    # dropout-free); rate is read at trace time like TpuDropout's
+def _bn_apply(x, mean, var, scale, bias, eps=1e-5):
+    """Train-mode BN normalize in x.dtype, exactly models/norm.py:_normalize."""
+    inv = jax.lax.rsqrt(var + eps)
+    return (x - mean.astype(x.dtype)) * (inv * scale).astype(x.dtype) \
+        + bias.astype(x.dtype)
+
+
+def _mc_drop(key, x, rate: float):
+    """TpuDropout's semantics under the ambient global backend (identity
+    when the parity harness sets 'off'; 16-bit words under the default
+    'xla16'; uint32 bernoulli otherwise)."""
     from uda_clr_tpu.models import layers as layers_lib
 
+    impl = layers_lib._DROPOUT_IMPL
+    if impl == "off" or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    if impl == "xla16":
+        bits = jax.random.bits(key, x.shape, jnp.uint16)
+        mask = bits < jnp.uint16(min(int(round(keep * 65536.0)), 65535))
+    else:
+        mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0).astype(x.dtype)
+
+
+def _conv(x, kernel, padding):
+    """NHWC conv matching models/layers.Conv2d's nn.Conv in x.dtype."""
+    return jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _mc_suffix(model, params, stats, feat_predrop, ll, hw, b, t_samples: int,
+               rng, rng_impl: str, mask_head_impl: str):
+    """T dropout-sampled mask-head passes from a (deterministic) prefix.
+
+    This is the hand-scheduled twin of Decoder.suffix_bound + the mask
+    head, specialized to the no-grad flat-T*B MC pass (same math, kept in
+    lockstep — the dropout-off step-parity harness pins it to the torch
+    oracle exactly):
+
+      * replicate at the first dropout site; one flat T*B batch
+        (elementwise dropout under one key = i.i.d. masks per copy; BN
+        moments over identical copies = per-forward moments);
+      * bound_conv1 is computed as conv(x_up, W[:256]) + conv(ll, W[256:])
+        — exact by linearity — so the [T*B,128,128,304] concat (and the
+        two full-tensor layout copies XLA emitted for it) never exists;
+      * BN normalizes with batch moments computed like _batch_moments (no
+        running-stat writes, deliberately — see DomainNorm2d docstring);
+      * the mask head runs as the three-input fused Pallas epilogue
+        (ops/pallas/mask_head.py:fused_mask_head_split), so the
+        [T*B,.,305] concat never exists either.
+
+    Returns stop-gradiented [T, B, H, W, 2] mask logits (callers must
+    also pass stop-gradiented params/inputs when tracing under a grad).
+    """
+    from uda_clr_tpu.models import layers as layers_lib
+    from uda_clr_tpu.ops.pallas.mask_head import fused_mask_head_split
+    from uda_clr_tpu.ops.resize import resize_bilinear_align_corners
+
+    H, W = hw
+    dec = params["decoder"]
+    k_aspp, k_d1, k_d2, k_mask = jax.random.split(rng, 4)
+    # hardware RBG keys for the big mask draws (same as TpuDropout's path)
+    k_aspp = _dropout_key(k_aspp, rng_impl)
+    k_d1 = _dropout_key(k_d1, rng_impl)
+    k_d2 = _dropout_key(k_d2, rng_impl)
+
+    feat_rep = jnp.concatenate([feat_predrop] * t_samples, axis=0)
+    ll_rep = jnp.concatenate([ll] * t_samples, axis=0)
+
+    # ASPP Dropout(0.5) per sample at feature res, then upsample to 1/4
+    x = _mc_drop(k_aspp, feat_rep, 0.5)
+    x_up = resize_bilinear_align_corners(x, (ll.shape[1], ll.shape[2]))
+
+    # boundary head (Decoder.suffix_bound's math), conv1 split over the
+    # virtual concat
+    w1 = dec["bound_conv1"]["conv"]["kernel"]  # [3,3,304,256]
+    y = _conv(x_up, w1[:, :, :256, :], [(1, 1), (1, 1)]) + \
+        _conv(ll_rep, w1[:, :, 256:, :], [(1, 1), (1, 1)])
+    mu1, var1 = _moments_f32(y)
+    y = jax.nn.relu(_bn_apply(y, mu1, var1, dec["bound_bn1"]["scale"],
+                              dec["bound_bn1"]["bias"]))
+    y = _mc_drop(k_d1, y, 0.5)
+    y = _conv(y, dec["bound_conv2"]["conv"]["kernel"], [(1, 1), (1, 1)])
+    mu2, var2 = _moments_f32(y)
+    y = jax.nn.relu(_bn_apply(y, mu2, var2, dec["bound_bn2"]["scale"],
+                              dec["bound_bn2"]["bias"]))
+    y = _mc_drop(k_d2, y, 0.1)
+    boundary = _conv(y, dec["bound_out"]["conv"]["kernel"], [(0, 0), (0, 0)]) \
+        + dec["bound_out"]["conv"]["bias"].astype(y.dtype)
+
+    # mask head: moments of the virtual 305-concat decompose per channel
+    mu_x, var_x = _moments_f32(x_up)
+    mu_l, var_l = _moments_f32(ll_rep)
+    mu_b, var_b = _moments_f32(boundary)
     drop_rate = 0.0 if layers_lib._DROPOUT_IMPL == "off" else 0.1
-    # (Feeding (h,w,n,c)-transposed views to share bound_conv1's
-    # {3,0,2,1} buffer as a bitcast was A/B'd: 145.8 vs 144.0 ms/step,
-    # no win — XLA materialized the transpose. Kept simple.)
-    x1 = fused_mask_head(
-        x_bu, boundary,
-        jnp.concatenate([mu_x, mu_b]), jnp.concatenate([var_x, var_b]),
+    x1 = fused_mask_head_split(
+        x_up, ll_rep, boundary,
+        jnp.concatenate([mu_x, mu_l, mu_b]),
+        jnp.concatenate([var_x, var_l, var_b]),
         dec["mask_bn"]["scale"], dec["mask_bn"]["bias"],
         dec["mask_out"]["conv"]["kernel"], dec["mask_out"]["conv"]["bias"],
         k_mask, rate=drop_rate,
         impl="xla" if drop_rate == 0.0 else mask_head_impl,
     )
-    from uda_clr_tpu.ops.resize import resize_bilinear_align_corners
-
     mc = resize_bilinear_align_corners(x1, (H, W)).reshape(t_samples, b, H, W, -1)
     return jax.lax.stop_gradient(mc)
 
