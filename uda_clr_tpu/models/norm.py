@@ -175,15 +175,28 @@ class DomainNorm2d(nn.Module):
 
         # domains == 2: per-half batch stats (separate-forward semantics),
         # running stats updated target-then-source like the reference's
-        # sequential T-forward, S-forward call order.
+        # sequential T-forward, S-forward call order. Formulated as a
+        # [2, b, ...] reshape + broadcast instead of slice/normalize/concat
+        # so XLA keeps whole-tensor op granularity across the ~60 norm
+        # layers (the halves share every fusion instead of splitting it).
         b = x.shape[0] // 2
-        xs, xt = x[:b], x[b:]
-        mu_s, v_s, n = _batch_moments(xs)
-        mu_t, v_t, _ = _batch_moments(xt)
-        zs = _normalize(xs, mu_s, v_s, scale, bias, self.eps)
-        zt = _normalize(xt, mu_t, v_t, scale, bias, self.eps)
+        x2 = x.reshape(2, b, *x.shape[1:])
+        x32 = x2.astype(jnp.float32)
+        reduce_axes = tuple(range(1, x2.ndim - 1))
+        n = b
+        for a in x.shape[1:-1]:
+            n *= a
+        mu2 = jnp.mean(x32, axis=reduce_axes)  # [2, C]
+        v2 = jnp.maximum(
+            jnp.mean(jnp.square(x32), axis=reduce_axes) - jnp.square(mu2), 0.0
+        )
+        bshape = (2,) + (1,) * (x2.ndim - 2) + (x2.shape[-1],)
+        inv2 = jax.lax.rsqrt(v2 + self.eps)
+        z = (
+            x2 - mu2.reshape(bshape).astype(x.dtype)
+        ) * (inv2 * scale).reshape(bshape).astype(x.dtype) + bias.astype(x.dtype)
         if writable:
             unbias = n / max(n - 1, 1)
-            mean_r.value = ema(ema(mean_r.value, mu_t), mu_s)
-            var_r.value = ema(ema(var_r.value, v_t * unbias), v_s * unbias)
-        return jnp.concatenate([zs, zt], axis=0)
+            mean_r.value = ema(ema(mean_r.value, mu2[1]), mu2[0])
+            var_r.value = ema(ema(var_r.value, v2[1] * unbias), v2[0] * unbias)
+        return z.reshape(x.shape)
