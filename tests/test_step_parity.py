@@ -61,9 +61,10 @@ def _to_nchw(x):
 
 @pytest.fixture()
 def dropout_off():
+    prev = layers_lib._DROPOUT_IMPL
     layers_lib.set_dropout_impl("off")
     yield
-    layers_lib.set_dropout_impl("xla")
+    layers_lib.set_dropout_impl(prev)
 
 
 @pytest.mark.parametrize(

@@ -48,18 +48,18 @@ _BLOCK_ROWS = (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8)
 _VMEM_BUDGET_BYTES = 6 * 1024 * 1024
 
 
-def _pick_block_rows(m: int) -> int | None:
+def _pick_block_rows(m: int, itemsize: int = 2) -> int | None:
     for bm in _BLOCK_ROWS:
-        if m % bm == 0 and 4 * bm * 384 * 2 <= _VMEM_BUDGET_BYTES:
+        if m % bm == 0 and 4 * bm * 384 * itemsize <= _VMEM_BUDGET_BYTES:
             return bm
     return None
 
 
-def mask_head_supported(shape) -> bool:
+def mask_head_supported(shape, itemsize: int = 2) -> bool:
     m = 1
     for d in shape[:-1]:
         m *= d
-    return _pick_block_rows(m) is not None
+    return _pick_block_rows(m, itemsize) is not None
 
 
 def _kernel(seed_ref, xbu_ref, bnd_ref, mu_ref, a_ref, beta_ref, w_ref,
@@ -97,7 +97,7 @@ def _fused(x_bu, boundary, mean, var, scale, bias, w, w_bias,
            rate: float, eps: float, interpret: bool = False, *, seed):
     n, H, W, C = x_bu.shape
     m = n * H * W
-    bm = _pick_block_rows(m)
+    bm = _pick_block_rows(m, jnp.dtype(x_bu.dtype).itemsize)
     assert bm is not None, f"unsupported mask-head shape {x_bu.shape}"
     keep = 1.0 - rate
     threshold = min(int(keep * 2.0**32), 2**32 - 1)
@@ -187,7 +187,7 @@ def _fused_split(x_up, ll, boundary, mean, var, scale, bias, w, w_bias,
                  rate: float, eps: float, interpret: bool = False, *, seed):
     n, H, W, _ = x_up.shape
     m = n * H * W
-    bm = _pick_block_rows(m)
+    bm = _pick_block_rows(m, jnp.dtype(x_up.dtype).itemsize)
     assert bm is not None, f"unsupported mask-head shape {x_up.shape}"
     keep = 1.0 - rate
     threshold = min(int(keep * 2.0**32), 2**32 - 1)
@@ -234,7 +234,7 @@ def fused_mask_head_split(x_up, ll, boundary, mean, var, scale, bias, w,
         impl == "auto" and jax.default_backend() == "tpu" and jax.device_count() == 1
     )
     shapes_ok = (
-        mask_head_supported(x_up.shape)
+        mask_head_supported(x_up.shape, jnp.dtype(x_up.dtype).itemsize)
         and x_up.shape[-1] == 256 and ll.shape[-1] == 48
         and w.size == 305 * 2
     )
@@ -266,7 +266,7 @@ def fused_mask_head(x_bu, boundary, mean, var, scale, bias, w, w_bias, key,
     )
     # the kernel is specialized to the reference's 304+1 -> 2 mask head
     shapes_ok = (
-        mask_head_supported(x_bu.shape)
+        mask_head_supported(x_bu.shape, jnp.dtype(x_bu.dtype).itemsize)
         and x_bu.shape[-1] == 304
         and w.size == 305 * 2
     )

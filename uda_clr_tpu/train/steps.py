@@ -162,10 +162,14 @@ def _mc_suffix(model, params, stats, feat_predrop, ll, hw, b, t_samples: int,
     H, W = hw
     dec = params["decoder"]
     k_aspp, k_d1, k_d2, k_mask = jax.random.split(rng, 4)
-    # hardware RBG keys for the big mask draws (same as TpuDropout's path)
+    # hardware RBG keys for the big mask draws (same as TpuDropout's path);
+    # k_mask included so the XLA fallback inside fused_mask_head_split draws
+    # its big bernoulli from the same key family as the other three sites
+    # (seed_from_key folds either key type for the Pallas path).
     k_aspp = _dropout_key(k_aspp, rng_impl)
     k_d1 = _dropout_key(k_d1, rng_impl)
     k_d2 = _dropout_key(k_d2, rng_impl)
+    k_mask = _dropout_key(k_mask, rng_impl)
 
     feat_rep = jnp.concatenate([feat_predrop] * t_samples, axis=0)
     ll_rep = jnp.concatenate([ll] * t_samples, axis=0)
@@ -294,7 +298,17 @@ def make_bcdm_step(model: DeepLab, cfg: Config):
     model's existing features/heads seam). Three Adam optimizers with
     independent step counts (``state.bcdm_opt``); both use ``lr_gen``
     (the bytecode stores separate fea/cls learning rates, both created
-    from the same 1e-3 const). Classifier 1 doubles as the eval model
+    from the same 1e-3 const).
+
+    Two reconstruction ASSUMPTIONS not directly evidenced by the bytecode
+    (recorded so a future source drop can be diffed against them):
+    (1) the bytecode shows TWO optimizers (``optim_fea``/``optim_cls``,
+    the latter presumably over C1+C2 jointly) vs the three Adam states
+    used here — numerically equivalent for per-parameter Adam, which has
+    no cross-parameter coupling; (2) the discrepancy term here includes
+    BOTH heads (mask + boundary logits); the bytecode's
+    ``discrepancy_calc`` shows only sigmoid/mean/abs and does not pin
+    which model outputs are passed in. Classifier 1 doubles as the eval model
     (``gen_params``); classifier 2 lives in ``state.cls2_params/stats``.
     Each phase runs its forwards in train mode with mutable running stats,
     chained A -> B -> C like the reference's sequential optimizer steps.
