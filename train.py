@@ -29,8 +29,8 @@ def build_config(argv=None) -> Config:
                         "flags given alongside it are ignored except --data-dir/"
                         "--out/--resume/--initial-resume overrides")
     p.add_argument("--method", default="prototype_full",
-                   choices=["baseline", "adversarial", "prototype", "prototype_full",
-                            "prototype_mt", "mean_teacher", "bcdm"])
+                   choices=["baseline", "adversarial", "posal", "prototype",
+                            "prototype_full", "prototype_mt", "mean_teacher", "bcdm"])
     p.add_argument("--datasetS", default="refuge")
     p.add_argument("--datasetT", default="Drishti-GS")
     p.add_argument("--data-dir", default="")

@@ -52,9 +52,16 @@ class OptimConfig:
 class MethodConfig:
     """Algorithm switches mirroring the reference trainers' surface."""
 
-    method: str = "prototype_full"  # baseline | adversarial | prototype | prototype_full | prototype_mt | mean_teacher | bcdm
+    method: str = "prototype_full"  # baseline | adversarial | posal | prototype | prototype_full | prototype_mt | mean_teacher | bcdm
     warmup_epoch: int = 25
     adv_weight: float = 0.01
+    # -- ablation switches for the bytecode-only trainer variants --
+    # (evidence quoted in train/steps.py:make_train_step and PARITY.md §2.2)
+    use_adv: bool = True  # False: drop the whole adversarial branch (Trainer_MT_wo_ad)
+    use_boundary_d: bool = True  # boundary PatchGAN model_dis
+    use_entropy_d: bool = True  # entropy PatchGAN model_dis2; method='posal' forces False
+    use_boundary_loss: bool = True  # False: drop the MSE boundary seg term (Trainer_baseline_wob)
+    bank_use_bu: bool = True  # False: drop the bu prototype-distance term (Trainer_prototype_delete_en)
     # prototype stack (Trainer_prototype_full)
     use_pid: bool = True
     use_global: bool = True
@@ -80,6 +87,7 @@ class MethodConfig:
     ema_decay: float = 0.99
     consistency: float = 1.0
     consistency_rampup: float = 40.0
+    teacher_noise: float = 0.1  # sigma of the gaussian noise on the teacher's input
 
 
 @dataclass

@@ -452,6 +452,29 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
     batch keys: image_s, map_s, boundary_s, image_t (all NHWC fp32).
     Scalar inputs: lr_gen, lr_dis, epoch (traced — no retraces across
     epochs).
+
+    Ablation switches (the bytecode-only reference trainers, evidence =
+    ``strings`` over ``train_process/__pycache__/*.cpython-38.pyc``):
+
+    * ``method='posal'`` — Trainer_posal: adversarial UDA with a SINGLE
+      boundary discriminator. Bytecode shows ``model_dis``/``optim_dis``
+      only (no ``model_dis2``), and only the boundary-D locals of
+      Trainer.py survive (``D_out2``/``loss_adv_diff2``/``loss_D_same2``/
+      ``loss_D_diff2``; zero uncertainty/entropy symbols). Implemented as
+      'adversarial' with ``use_entropy_d`` forced off.
+    * ``use_adv=False`` — Trainer_MT_wo_ad: mean teacher WITHOUT the
+      adversarial branch (bytecode: ``model_gen_student/teacher`` +
+      consistency symbols, no discriminator symbols at all).
+    * ``use_boundary_loss=False`` — Trainer_baseline_wob: supervised
+      baseline without the boundary MSE term (bytecode train_epoch locals
+      have ``loss_seg1`` but no ``loss_seg2``).
+    * ``bank_use_bu=False`` — Trainer_prototype_delete_en: the bu
+      prototype-distance term dropped from the bank method's loss
+      (bytecode logs ``train_pro/loss_cup``/``loss_disc`` but NO
+      ``train_pro/loss_bu``, unlike Trainer_prototype). NOTE: delete_en's
+      bytecode still contains BOTH discriminators and extra
+      source-weighting machinery (``get_prototype_weight_souce``,
+      ``proj_key_x_bu``) not reconstructed here; see PARITY.md §2.2.
     """
     if method == "bcdm":
         return make_bcdm_step(model, cfg)
@@ -461,7 +484,14 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
     compute_dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
     DIS, DIS2 = _discriminators(cfg.model.compute_dtype)
 
-    use_adv = method != "baseline"
+    use_boundary_d = mcfg.use_boundary_d
+    use_entropy_d = mcfg.use_entropy_d and method != "posal"
+    if method == "posal":
+        method = "adversarial"
+    # 'use_target' = the step consumes a target batch (S||T concat
+    # forward); 'use_adv' = the discriminator game actually runs.
+    use_target = method != "baseline"
+    use_adv = use_target and mcfg.use_adv and (use_boundary_d or use_entropy_d)
     use_proto_full = method in ("prototype_full", "prototype_mt") and proto_phase
     use_proto_bank = method == "prototype" and proto_phase
     use_mt_losses = method == "prototype_mt" and proto_phase
@@ -477,7 +507,7 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
         b = image_s.shape[0]
         metrics = {}
 
-        if use_adv:
+        if use_target:
             image_t = batch["image_t"].astype(compute_dtype)
             x_all = jnp.concatenate([image_s, image_t], axis=0)
         else:
@@ -491,7 +521,7 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
         # image_t; reusing them (stop-gradiented) eliminates the entire MC
         # backbone recompute. Slow/TN path keeps the standalone forwards.
         mc_inline = (
-            use_proto_full and mcfg.retrify_pseudo and use_adv
+            use_proto_full and mcfg.retrify_pseudo and use_target
             and mcfg.mc_fast and model.norm == "bn"
         )
         mc_logits = None
@@ -504,10 +534,20 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
             ).astype(jnp.float32)
 
         # ---- teacher forward (mean teacher) ----
+        # Trainer_MT / Trainer_MT_wo_ad bytecode feeds the teacher a NOISED
+        # target view (``imageT_teacher`` built with ``randn``); the sigma
+        # is not extractable from the bytecode consts — 0.1 follows the
+        # canonical mean-teacher recipe and is configurable.
         teacher_out = None
         if use_teacher:
+            t_in = image_t
+            if mcfg.teacher_noise > 0.0:
+                t_in = image_t + (
+                    mcfg.teacher_noise
+                    * jax.random.normal(k_teacher, image_t.shape, jnp.float32)
+                ).astype(compute_dtype)
             t_outs, _ = _gen_apply(
-                model, state.teacher_params, state.teacher_stats, image_t,
+                model, state.teacher_params, state.teacher_stats, t_in,
                 k_teacher, False, 1, mutable=False,
             )
             teacher_out = jax.lax.stop_gradient(t_outs)
@@ -556,11 +596,11 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
             else:
                 outs, upd = _gen_apply(
                     model, gen_params, state.gen_stats, x_all, k_fwd, True,
-                    2 if use_adv else 1, mutable=True,
+                    2 if use_target else 1, mutable=True,
                 )
                 mc_local = mc_logits
             aux = {"stats": upd["batch_stats"]}
-            if use_adv:
+            if use_target:
                 out_s, out_t = _split(outs, b)
             else:
                 out_s, out_t = outs, None
@@ -577,29 +617,39 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
             }
             # BCELoss-on-sigmoid value (reference :292) with the bounded
             # logits-space gradient — see losses.bce_sigmoid_stable.
-            loss_seg = L.bce_sigmoid_stable(o_s, map_s) + L.mse(
-                jax.nn.sigmoid(b_s), boundary_s
-            )
+            # use_boundary_loss=False drops the MSE boundary term
+            # (Trainer_baseline_wob: no loss_seg2 local in bytecode).
+            loss_seg = L.bce_sigmoid_stable(o_s, map_s)
+            if mcfg.use_boundary_loss:
+                loss_seg = loss_seg + L.mse(jax.nn.sigmoid(b_s), boundary_s)
             loss = loss_seg
             m = {"loss_seg": loss_seg}
 
-            if use_adv:
+            if use_target:
                 o_t = out_t.mask_logits.astype(jnp.float32)
                 bd_t = out_t.boundary_logits.astype(jnp.float32)
-                d_b = DIS.apply(
-                    {"params": state.dis_params},
-                    jax.nn.sigmoid(bd_t).astype(compute_dtype),
-                ).astype(jnp.float32)
-                d_u = DIS2.apply(
-                    {"params": state.dis2_params},
-                    L.entropy_map(o_t).astype(compute_dtype),
-                ).astype(jnp.float32)
-                loss_adv = L.adversarial_generator_loss(d_b, d_u, mcfg.adv_weight)
-                loss = loss + loss_adv
-                m["loss_adv"] = loss_adv
                 aux["out_t"] = jax.tree.map(jax.lax.stop_gradient, out_t)
                 viz["pred_t"] = jax.nn.sigmoid(o_t[0])
                 viz["bnd_t_raw"] = bd_t[0]  # logged unsigmoided (:534-535)
+            if use_adv:
+                # reference term order: uncertainty-D first, boundary-D
+                # second (Trainer_prototype_full.py:452-458)
+                adv = 0.0
+                if use_entropy_d:
+                    d_u = DIS2.apply(
+                        {"params": state.dis2_params},
+                        L.entropy_map(o_t).astype(compute_dtype),
+                    ).astype(jnp.float32)
+                    adv = adv + L.bce_with_logits(d_u, jnp.ones_like(d_u))
+                if use_boundary_d:
+                    d_b = DIS.apply(
+                        {"params": state.dis_params},
+                        jax.nn.sigmoid(bd_t).astype(compute_dtype),
+                    ).astype(jnp.float32)
+                    adv = adv + L.bce_with_logits(d_b, jnp.ones_like(d_b))
+                loss_adv = mcfg.adv_weight * adv
+                loss = loss + loss_adv
+                m["loss_adv"] = loss_adv
 
             if use_proto_full:
                 feat_hw = (out_s.x_feature.shape[1], out_s.x_feature.shape[2])
@@ -690,11 +740,16 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
                 proto_y_cup = P.masked_pool_mean(xt_f, cup_rect)
                 proto_y_disc = P.masked_pool_mean(xt_f, disc_rect)
 
-                dis_bu = jnp.mean(jnp.square(proto_x_bu - proto_y_bu))
                 dis_cup = jnp.mean(jnp.square(proto_x_cup - proto_y_cup))
                 dis_disc = jnp.mean(jnp.square(proto_x_disc - proto_y_disc))
-                loss = loss + mcfg.bank_loss_weight * (dis_bu + dis_cup + dis_disc)
-                m["loss_bu"] = dis_bu
+                bank_loss = dis_cup + dis_disc
+                # bank_use_bu=False: Trainer_prototype_delete_en logs only
+                # train_pro/loss_cup + loss_disc (no loss_bu in bytecode)
+                if mcfg.bank_use_bu:
+                    dis_bu = jnp.mean(jnp.square(proto_x_bu - proto_y_bu))
+                    bank_loss = bank_loss + dis_bu
+                    m["loss_bu"] = dis_bu
+                loss = loss + mcfg.bank_loss_weight * bank_loss
                 m["loss_cup"] = dis_cup
                 m["loss_disc"] = dis_disc
 
@@ -764,10 +819,6 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
         dis_opt, dis2_opt = state.dis_opt, state.dis2_opt
         if use_adv:
             out_s, out_t = aux["out_s"], aux["out_t"]
-            sig_bs = jax.nn.sigmoid(out_s.boundary_logits.astype(jnp.float32)).astype(compute_dtype)
-            sig_bt = jax.nn.sigmoid(out_t.boundary_logits.astype(jnp.float32)).astype(compute_dtype)
-            ent_s = L.entropy_map(out_s.mask_logits.astype(jnp.float32)).astype(compute_dtype)
-            ent_t = L.entropy_map(out_t.mask_logits.astype(jnp.float32)).astype(compute_dtype)
 
             # Separate S and T discriminator passes, matching the
             # reference's structure (Trainer_prototype_full.py:479-513):
@@ -777,26 +828,35 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
             # SAME subgraph as the generator loss's D(T) forward above and
             # XLA CSE computes it once — the 2x-batch concat pass could
             # never share it (different shapes).
-            def dis_loss_fn(p):
-                out_s = DIS.apply({"params": p}, sig_bs).astype(jnp.float32)
-                out_t = DIS.apply({"params": p}, sig_bt).astype(jnp.float32)
-                return L.bce_with_logits(out_s, jnp.ones_like(out_s)) + \
-                    L.bce_with_logits(out_t, jnp.zeros_like(out_t))
+            if use_boundary_d:
+                sig_bs = jax.nn.sigmoid(out_s.boundary_logits.astype(jnp.float32)).astype(compute_dtype)
+                sig_bt = jax.nn.sigmoid(out_t.boundary_logits.astype(jnp.float32)).astype(compute_dtype)
 
-            def dis2_loss_fn(p):
-                out_s = DIS2.apply({"params": p}, ent_s).astype(jnp.float32)
-                out_t = DIS2.apply({"params": p}, ent_t).astype(jnp.float32)
-                return L.bce_with_logits(out_s, jnp.ones_like(out_s)) + \
-                    L.bce_with_logits(out_t, jnp.zeros_like(out_t))
+                def dis_loss_fn(p):
+                    out_s = DIS.apply({"params": p}, sig_bs).astype(jnp.float32)
+                    out_t = DIS.apply({"params": p}, sig_bt).astype(jnp.float32)
+                    return L.bce_with_logits(out_s, jnp.ones_like(out_s)) + \
+                        L.bce_with_logits(out_t, jnp.zeros_like(out_t))
 
-            loss_d, dis_grads = jax.value_and_grad(dis_loss_fn)(state.dis_params)
-            loss_d2, dis2_grads = jax.value_and_grad(dis2_loss_fn)(state.dis2_params)
-            dis_updates, dis_opt = tx_dis.update(dis_grads, state.dis_opt, state.dis_params)
-            dis_params = optim_lib.apply_updates(state.dis_params, dis_updates, lr_dis)
-            dis2_updates, dis2_opt = tx_dis.update(dis2_grads, state.dis2_opt, state.dis2_params)
-            dis2_params = optim_lib.apply_updates(state.dis2_params, dis2_updates, lr_dis)
-            metrics["loss_D"] = loss_d
-            metrics["loss_D2"] = loss_d2
+                loss_d, dis_grads = jax.value_and_grad(dis_loss_fn)(state.dis_params)
+                dis_updates, dis_opt = tx_dis.update(dis_grads, state.dis_opt, state.dis_params)
+                dis_params = optim_lib.apply_updates(state.dis_params, dis_updates, lr_dis)
+                metrics["loss_D"] = loss_d
+
+            if use_entropy_d:
+                ent_s = L.entropy_map(out_s.mask_logits.astype(jnp.float32)).astype(compute_dtype)
+                ent_t = L.entropy_map(out_t.mask_logits.astype(jnp.float32)).astype(compute_dtype)
+
+                def dis2_loss_fn(p):
+                    out_s = DIS2.apply({"params": p}, ent_s).astype(jnp.float32)
+                    out_t = DIS2.apply({"params": p}, ent_t).astype(jnp.float32)
+                    return L.bce_with_logits(out_s, jnp.ones_like(out_s)) + \
+                        L.bce_with_logits(out_t, jnp.zeros_like(out_t))
+
+                loss_d2, dis2_grads = jax.value_and_grad(dis2_loss_fn)(state.dis2_params)
+                dis2_updates, dis2_opt = tx_dis.update(dis2_grads, state.dis2_opt, state.dis2_params)
+                dis2_params = optim_lib.apply_updates(state.dis2_params, dis2_updates, lr_dis)
+                metrics["loss_D2"] = loss_d2
 
         # ---- prototype bank EMA commit ----
         proto_src, proto_trg = state.proto_src, state.proto_trg

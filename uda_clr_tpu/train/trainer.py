@@ -33,7 +33,7 @@ from uda_clr_tpu.utils.logging import CsvLogger, ScalarWriter, StepTimer
 from uda_clr_tpu.utils.metrics import dice_coeff_2label, pixel_acc
 from uda_clr_tpu.utils.ramps import get_current_consistency_weight
 
-_ADVERSARIAL_METHODS = {"adversarial", "prototype", "prototype_full", "prototype_mt", "mean_teacher", "bcdm"}
+_ADVERSARIAL_METHODS = {"adversarial", "posal", "prototype", "prototype_full", "prototype_mt", "mean_teacher", "bcdm"}
 
 
 class Trainer:
