@@ -83,6 +83,73 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+def test_validation_runs_sharded_over_mesh(tmp_path):
+    """VERDICT r2 item 6: the padded eval batch must be device_put with the
+    data-axis sharding so validation uses every chip, not just one."""
+    from jax.sharding import PartitionSpec as P
+
+    from uda_clr_tpu.train.trainer import Trainer
+
+    cfg = _tiny_cfg(tmp_path, "baseline")
+    tr = Trainer(cfg)
+    captured = {}
+    orig = tr._eval_step
+
+    def spy(variables, image, map_t):
+        captured["spec"] = image.sharding.spec
+        captured["ndev"] = len(image.sharding.device_set)
+        return orig(variables, image, map_t)
+
+    tr._eval_step = spy
+    tr.validate()
+    assert captured["spec"] == P("data")
+    assert captured["ndev"] == len(tr.mesh.devices.ravel())
+
+
+def test_resume_restores_iteration(tmp_path):
+    """VERDICT r2 item 6: resume must restore the global iteration counter
+    (the reference does, train_use_fix_initial.py:305-306) so TB/CSV step
+    numbering continues instead of restarting."""
+    from uda_clr_tpu.train import checkpoint as ckpt_lib
+    from uda_clr_tpu.train.trainer import Trainer
+
+    cfg = _tiny_cfg(tmp_path, "baseline")
+    cfg.data.synthetic_size = 8  # 2 steps/epoch so iteration advances
+    tr = Trainer(cfg)
+    tr.train_epoch()
+    assert tr.iteration > 0
+    ckpt_dir = str(tmp_path / "baseline" / "checkpoints")
+    ckpt_lib.save_checkpoint(
+        ckpt_dir, tr.state, epoch=0, best_mean_dice=0.5, tag="checkpoint_1",
+        iteration=tr.iteration,
+    )
+
+    cfg2 = _tiny_cfg(tmp_path, "baseline")
+    cfg2.run.out_dir = str(tmp_path / "resume_iter")
+    cfg2.run.resume = ckpt_dir
+    tr2 = Trainer(cfg2)
+    assert tr2.iteration == tr.iteration
+
+
+def test_profile_flag_writes_trace(tmp_path):
+    """VERDICT r2 item 7: run.profile captures an XLA trace window into
+    <out>/profile during the first trained epoch."""
+    import glob
+
+    from uda_clr_tpu.train.trainer import Trainer
+
+    cfg = _tiny_cfg(tmp_path, "baseline")
+    cfg.run.profile = True
+    cfg.run.max_epoch = 1
+    tr = Trainer(cfg)
+    tr.train_epoch()
+    assert tr._profiled
+    xplanes = glob.glob(
+        str(tmp_path / "baseline" / "profile" / "**" / "*.xplane.pb"), recursive=True
+    )
+    assert xplanes, "no xplane trace written under <out>/profile"
+
+
 @pytest.mark.parametrize("method", ["adversarial", "prototype_mt", "mean_teacher"])
 def test_other_methods_one_epoch(tmp_path, method):
     from uda_clr_tpu.train.trainer import Trainer

@@ -64,6 +64,9 @@ def build_config(argv=None) -> Config:
                    help="warm-start checkpoint (BEAL bootstrap)")
     p.add_argument("--seed", type=int, default=1337)
     p.add_argument("--num-workers", type=int, default=2)
+    p.add_argument("--profile", action="store_true",
+                   help="capture one XLA trace window (steps 3-8 of the first "
+                        "epoch) into <out>/profile")
     args = p.parse_args(argv)
 
     if args.config:
@@ -106,6 +109,7 @@ def build_config(argv=None) -> Config:
     cfg.run.stop_epoch = args.stop_epoch
     cfg.run.interval_validate = args.interval_validate
     cfg.run.seed = args.seed
+    cfg.run.profile = args.profile
     cfg.run.resume = args.resume
     cfg.run.initial_resume = args.initial_resume
     if args.out is not None:

@@ -19,13 +19,17 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
-def save_checkpoint(ckpt_dir: str, state, epoch: int, best_mean_dice: float, tag: str) -> str:
+def save_checkpoint(
+    ckpt_dir: str, state, epoch: int, best_mean_dice: float, tag: str, iteration: int = 0
+) -> str:
     path = os.path.abspath(os.path.join(ckpt_dir, tag))
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, jax.device_get(state), force=True)
     ckptr.wait_until_finished()
     with open(os.path.join(ckpt_dir, f"{tag}.meta.json"), "w") as f:
-        json.dump({"epoch": epoch, "best_mean_dice": best_mean_dice}, f)
+        json.dump(
+            {"epoch": epoch, "best_mean_dice": best_mean_dice, "iteration": iteration}, f
+        )
     return path
 
 

@@ -124,6 +124,7 @@ class Trainer:
         self.timer = StepTimer()
         self.epoch = 0
         self.iteration = 0
+        self._profiled = False  # run.profile captures one window per run
         self.best_mean_dice = 0.0
         self.best_epoch = -1
         self.last_throughput = 0.0
@@ -178,6 +179,9 @@ class Trainer:
         self.state = jax.device_put(state, self._replicated)
         self.epoch = int(meta.get("epoch", -1)) + 1
         self.best_mean_dice = float(meta.get("best_mean_dice", 0.0))
+        # restore the global iteration counter so TB/CSV step numbering
+        # continues (the reference restores it, train_use_fix_initial.py:305-306)
+        self.iteration = int(meta.get("iteration", self.epoch * len(self.loader_s)))
 
     def _get_step(self, proto_phase: bool):
         key = (proto_phase,)
@@ -222,6 +226,18 @@ class Trainer:
         lr_dis = cfg.optim.lr_dis
         needs_target = self.method in _ADVERSARIAL_METHODS
 
+        # run.profile: capture one XLA trace window (steps 3..8 of the first
+        # trained epoch — past compile, inside steady state; clamped for
+        # shorter epochs) into out_dir/profile, readable with
+        # utils/xplane.py or TensorBoard.
+        if cfg.run.profile and not self._profiled:
+            n_steps = len(self.loader_s)
+            prof_start = 3 if n_steps > 3 else 0
+            prof_stop = min(8, n_steps - 1)
+        else:
+            prof_start, prof_stop = -1, -1
+        prof_open = False
+
         self.timer.start()
         pending = []
         viz_pending = []
@@ -230,7 +246,15 @@ class Trainer:
             self.iteration = batch_idx + self.epoch * len(self.loader_s)
             batch_t = next(self._target_iter) if needs_target else None
             batch = self._device_batch(batch_s, batch_t)
+            if batch_idx == prof_start:
+                jax.block_until_ready(self.state)
+                jax.profiler.start_trace(os.path.join(cfg.run.out_dir, "profile"))
+                prof_open = True
             self.state, metrics = step(self.state, batch, lr_gen, lr_dis, self.epoch)
+            if batch_idx == prof_stop:
+                jax.block_until_ready(self.state)
+                jax.profiler.stop_trace()
+                self._profiled, prof_open = True, False
             viz = metrics.pop("_viz", None)
             if viz is not None and viz_every and self.iteration % viz_every == 0:
                 # keep the device tiles + the host copies of the raw batch;
@@ -238,6 +262,12 @@ class Trainer:
                 viz_pending.append((self.iteration, batch_s, batch_t, viz))
             pending.append((self.iteration, metrics))
             self.timer.add_images(batch_s["image"].shape[0])
+
+        if prof_open:
+            # epoch shorter than the profile window: close the trace cleanly
+            jax.block_until_ready(self.state)
+            jax.profiler.stop_trace()
+            self._profiled = True
 
         # one host sync per epoch for all scalars
         fetched = jax.device_get([m for _, m in pending])
@@ -318,6 +348,10 @@ class Trainer:
                 reps = [1] * (n_valid - 1) + [bs - n_valid + 1]
                 image = np.repeat(image, reps, axis=0)
                 map_t = np.repeat(map_t, reps, axis=0)
+            # shard the (padded, fixed-shape) eval batch over the data axis
+            # so validation uses every chip like training does
+            image = jax.device_put(image, self._batch_sharding)
+            map_t = jax.device_put(map_t, self._batch_sharding)
             logits, _, per_image_loss = self._eval_step(variables, image, map_t)
             logits = np.asarray(logits)[:n_valid]
             loss = float(np.mean(np.asarray(per_image_loss)[:n_valid]))
@@ -364,12 +398,12 @@ class Trainer:
             self.best_mean_dice = mean_dice
             ckpt_lib.save_checkpoint(
                 ckpt_dir, self.state, self.epoch, self.best_mean_dice,
-                f"checkpoint_{self.best_epoch}",
+                f"checkpoint_{self.best_epoch}", iteration=self.iteration,
             )
         elif (self.epoch + 1) % self.cfg.run.checkpoint_every == 0:
             ckpt_lib.save_checkpoint(
                 ckpt_dir, self.state, self.epoch, self.best_mean_dice,
-                f"checkpoint_{self.epoch + 1}",
+                f"checkpoint_{self.epoch + 1}", iteration=self.iteration,
             )
         self.csv.write_valid_row(
             self.epoch, self.iteration, tot["loss"], tot["cup_dice"], tot["disc_dice"],
