@@ -1,0 +1,87 @@
+"""Pin the hand-scheduled MC fast path to the real model (VERDICT r2
+item 8).
+
+``steps._mc_suffix`` re-implements Decoder.suffix_bound + the mask head
+outside the module tree (for the flat-T*B batched MC sampling). If anyone
+edits the decoder (a layer, a BN placement, a dropout rate) the twin
+would silently drift — these tests make that loud:
+
+  * dropout OFF: the fast path must reproduce the slow path (which runs
+    the REAL model end-to-end) exactly — any structural/weight-routing
+    divergence in the twin breaks this at fp32 exactness level;
+  * dropout ON: the two paths draw different masks, but the MC sampling
+    distribution must match — per-pixel mean/std of the sigmoid samples
+    agree to sampling noise + the documented downstream-BN approximation
+    (stats mix T samples vs the reference's 2; A/B'd as indistinguishable
+    in round 2, PARITY.md).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from uda_clr_tpu.models import layers as layers_lib
+from uda_clr_tpu.models.deeplab import DeepLab
+from uda_clr_tpu.train.state import create_train_state
+from uda_clr_tpu.train.steps import _mc_dropout_forward
+
+B, SIZE = 2, 64
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = DeepLab(num_classes=2, backbone="mobilenet", output_stride=16, norm="bn")
+    state = create_train_state(model, jax.random.PRNGKey(0), (B, SIZE, SIZE, 3))
+    rng = np.random.default_rng(5)
+    image_t = jnp.asarray(rng.standard_normal((B, SIZE, SIZE, 3)).astype(np.float32))
+    return model, state, image_t
+
+
+def _mc(model, state, image_t, t, fast, key=0):
+    return np.asarray(
+        _mc_dropout_forward(
+            model, state.gen_params, state.gen_stats, image_t,
+            jax.random.PRNGKey(key), t, fast=fast, rng_impl="threefry",
+        ).astype(jnp.float32)
+    )
+
+
+def test_fast_twin_equals_model_when_dropout_off(setup):
+    model, state, image_t = setup
+    prev = layers_lib._DROPOUT_IMPL
+    layers_lib.set_dropout_impl("off")
+    try:
+        fast = _mc(model, state, image_t, 2, fast=True)
+        slow = _mc(model, state, image_t, 2, fast=False)
+    finally:
+        layers_lib.set_dropout_impl(prev)
+    # with dropout off both paths are deterministic functions of the same
+    # params through (supposedly) the same math; the twin's exact-by-
+    # linearity conv1 split and its f32 moment recomputation reassociate
+    # fp32 sums, measured at max|diff| ~6e-4 on ~1.3-scale logits (CPU,
+    # highest matmul precision). A structural break — wrong weight slice,
+    # missing relu/BN, changed dropout site — lands orders of magnitude
+    # above this bound.
+    assert np.max(np.abs(fast - slow)) < 2e-3, (
+        f"MC twin diverged from the model: max|diff|={np.max(np.abs(fast - slow))}"
+    )
+    # and the T samples are identical to each other
+    np.testing.assert_allclose(fast[0], fast[1], atol=1e-6)
+
+
+def test_fast_twin_statistics_match_model_when_dropout_on(setup):
+    model, state, image_t = setup
+    T = 16
+    fast = jax.nn.sigmoid(jnp.asarray(_mc(model, state, image_t, T, fast=True, key=1)))
+    slow = jax.nn.sigmoid(jnp.asarray(_mc(model, state, image_t, T, fast=False, key=2)))
+    fast, slow = np.asarray(fast), np.asarray(slow)
+
+    mean_f, mean_s = fast.mean(axis=0), slow.mean(axis=0)
+    std_f, std_s = fast.std(axis=0, ddof=1), slow.std(axis=0, ddof=1)
+
+    # global moments of the MC distribution agree
+    assert abs(mean_f.mean() - mean_s.mean()) < 0.01
+    assert abs(std_f.mean() - std_s.mean()) < 0.01
+    # per-pixel mean maps agree up to T=16 sampling noise
+    assert np.mean(np.abs(mean_f - mean_s)) < 0.05
