@@ -37,14 +37,12 @@ def main():
     from uda_clr_tpu.config import Config
     from uda_clr_tpu.models.deeplab import DeepLab
     from uda_clr_tpu.models.layers import set_dropout_impl
-    from uda_clr_tpu.models.norm import set_moments_impl
     from uda_clr_tpu.parallel.mesh import batch_sharding, get_mesh, replicated_sharding
     from uda_clr_tpu.train.state import create_train_state
     from uda_clr_tpu.train.steps import make_train_step
 
     # kernel-backend A/B knobs (default = shipped configuration)
     set_dropout_impl(os.environ.get("UDA_DROPOUT_IMPL", "xla16"))
-    set_moments_impl(os.environ.get("UDA_MOMENTS_IMPL", "xla"))
 
     size, batch = 512, 8
     cfg = Config()

@@ -35,13 +35,11 @@ def main():
     from uda_clr_tpu.config import Config
     from uda_clr_tpu.models.deeplab import DeepLab
     from uda_clr_tpu.models.layers import set_dropout_impl
-    from uda_clr_tpu.models.norm import set_moments_impl
     from uda_clr_tpu.train.state import create_train_state
     from uda_clr_tpu.train.steps import make_train_step
     from uda_clr_tpu.utils.xplane import latest_trace, op_totals
 
     set_dropout_impl(os.environ.get("UDA_DROPOUT_IMPL", "xla16"))
-    set_moments_impl(os.environ.get("UDA_MOMENTS_IMPL", "xla"))
 
     size, batch = args.size, args.batch
     cfg = Config()

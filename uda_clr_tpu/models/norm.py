@@ -43,20 +43,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-# Moment-computation backend: 'xla' (convert-reduce fusion) or 'pallas'
-# (uda_clr_tpu.ops.pallas.moments streaming kernel). Global because the norm
-# module is instantiated ~60x through deep constructor chains; read at trace
-# time, so flip it before jitting (bench.py / trainer do this on TPU).
-_MOMENTS_IMPL = "xla"
-_PALLAS_MIN_ELEMENTS = 1 << 22  # small tensors aren't worth a kernel launch
-
-
-def set_moments_impl(impl: str) -> None:
-    global _MOMENTS_IMPL
-    assert impl in ("xla", "pallas"), impl
-    _MOMENTS_IMPL = impl
-
-
 def _batch_moments(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, int]:
     """Mean and biased variance over all axes except the trailing channel.
 
@@ -64,15 +50,13 @@ def _batch_moments(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, int]:
     measured SLOWER end-to-end: the reshape from XLA's chosen activation
     layouts forces materialized transposes that outweigh the reduce-fusion
     inefficiency. The straightforward convert-reduce fuses with the
-    producer and wins.)"""
+    producer and wins. A Pallas streaming-moments kernel was also built
+    and A/B'd on real v5e hardware — 110.0 vs 109.5 ms/step, a wash — and
+    retired in round 3; see PARITY.md "Kernel-backend A/B".)"""
     reduce_axes = tuple(range(x.ndim - 1))
     n = 1
     for a in reduce_axes:
         n *= x.shape[a]
-    if _MOMENTS_IMPL == "pallas" and n * x.shape[-1] >= _PALLAS_MIN_ELEMENTS:
-        from uda_clr_tpu.ops.pallas.moments import batch_moments_pallas
-
-        return batch_moments_pallas(x)
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=reduce_axes)
     # E[x^2] - E[x]^2 cancels catastrophically for near-constant channels
