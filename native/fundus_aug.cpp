@@ -42,58 +42,79 @@ std::vector<double> gaussian_kernel(double sigma, int* radius_out) {
 
 enum class Pad { kConstant, kReflect };
 
-// 1-D convolution of one line through a zero/reflect-padded scratch buffer:
-// branch-free inner loop over a contiguous window, exploiting kernel
-// symmetry (acc += k[j] * (s[i-j] + s[i+j])).
-void conv_line(const double* src, int src_stride, double* dst, int dst_stride,
-               int n, const std::vector<double>& k, int radius, Pad pad,
-               std::vector<double>& scratch) {
-  const int padded = n + 2 * radius;
-  if ((int)scratch.size() < padded) scratch.resize(padded);
-  double* s = scratch.data();
-  for (int i = 0; i < n; ++i) s[radius + i] = src[i * src_stride];
-  if (pad == Pad::kConstant) {
-    std::fill(s, s + radius, 0.0);
-    std::fill(s + radius + n, s + padded, 0.0);
-  } else {  // scipy 'reflect' (d c b a | a b c d | d c b a)
-    for (int i = 0; i < radius; ++i) {
-      int idx = -(i + 1);
-      while (idx < 0 || idx >= n) {
-        if (idx < 0) idx = -idx - 1;
-        if (idx >= n) idx = 2 * n - idx - 1;
-      }
-      s[radius - 1 - i] = src[idx * src_stride];
-      idx = n + i;
-      while (idx < 0 || idx >= n) {
-        if (idx < 0) idx = -idx - 1;
-        if (idx >= n) idx = 2 * n - idx - 1;
-      }
-      s[radius + n + i] = src[idx * src_stride];
-    }
+// scipy 'reflect' index mapping (d c b a | a b c d | d c b a)
+inline int reflect_index(int idx, int n) {
+  while (idx < 0 || idx >= n) {
+    if (idx < 0) idx = -idx - 1;
+    if (idx >= n) idx = 2 * n - idx - 1;
   }
-  const double* kc = k.data() + radius;  // center tap
-  for (int i = 0; i < n; ++i) {
-    const double* c = s + radius + i;
-    double acc = kc[0] * c[0];
-    for (int j = 1; j <= radius; ++j) acc += kc[j] * (c[-j] + c[j]);
-    dst[i * dst_stride] = acc;
-  }
+  return idx;
 }
 
-void gaussian2d(double* data, int h, int w, double sigma, Pad pad) {
+// Separable gaussian, restructured for SIMD throughput (the elastic
+// transform's sigma = 0.08*W gives radius ~166 at 512x512 — ~100M MACs
+// per field, the host pipeline's hottest loop):
+//   * horizontal pass: kernel-tap-outer loop accumulating contiguous
+//     row-length AXPYs acc[x] += k[j] * (pad[x+r-j] + pad[x+r+j]);
+//   * vertical pass: output-row-outer, tap-inner row AXPYs — every
+//     access contiguous, the (2r+1)-row sliding window stays in L2.
+// Accumulation order per output (j = 0, 1, .., r with symmetric pairing)
+// is IDENTICAL to the conv_line path, so for T=double results are
+// bit-identical to scipy. T=float doubles the SIMD lanes and halves
+// memory traffic; the elastic path uses it (see fundus_elastic).
+template <typename T>
+void gaussian2d(T* data, int h, int w, double sigma, Pad pad) {
   int radius;
-  auto k = gaussian_kernel(sigma, &radius);
-  std::vector<double> scratch;
-  std::vector<double> tmp(std::max(h, w));
-  // rows
+  auto k64 = gaussian_kernel(sigma, &radius);
+  std::vector<T> k(k64.begin(), k64.end());
+  const T* kc = k.data() + radius;
+
+  // ---- horizontal pass ----
+  std::vector<T> padrow(w + 2 * radius), acc(w);
   for (int y = 0; y < h; ++y) {
-    conv_line(data + y * w, 1, tmp.data(), 1, w, k, radius, pad, scratch);
-    std::memcpy(data + y * w, tmp.data(), w * sizeof(double));
+    T* row = data + (size_t)y * w;
+    T* s = padrow.data();
+    std::memcpy(s + radius, row, w * sizeof(T));
+    if (pad == Pad::kConstant) {
+      std::fill(s, s + radius, T(0));
+      std::fill(s + radius + w, s + 2 * radius + w, T(0));
+    } else {
+      for (int i = 0; i < radius; ++i) {
+        s[radius - 1 - i] = row[reflect_index(-(i + 1), w)];
+        s[radius + w + i] = row[reflect_index(w + i, w)];
+      }
+    }
+    for (int x = 0; x < w; ++x) acc[x] = kc[0] * s[radius + x];
+    for (int j = 1; j <= radius; ++j) {
+      const T kj = kc[j];
+      const T* a = s + radius - j;
+      const T* b = s + radius + j;
+      for (int x = 0; x < w; ++x) acc[x] += kj * (a[x] + b[x]);
+    }
+    std::memcpy(row, acc.data(), w * sizeof(T));
   }
-  // cols
-  for (int x = 0; x < w; ++x) {
-    conv_line(data + x, w, tmp.data(), 1, h, k, radius, pad, scratch);
-    for (int y = 0; y < h; ++y) data[y * w + x] = tmp[y];
+
+  // ---- vertical pass ----
+  std::vector<T> src(data, data + (size_t)h * w);
+  std::vector<T> zero;
+  if (pad == Pad::kConstant) zero.assign(w, T(0));
+  auto row_at = [&](int y) -> const T* {
+    if (y >= 0 && y < h) return src.data() + (size_t)y * w;
+    if (pad == Pad::kConstant) return zero.data();
+    return src.data() + (size_t)reflect_index(y, h) * w;
+  };
+  for (int y = 0; y < h; ++y) {
+    T* out = data + (size_t)y * w;
+    const T* c = src.data() + (size_t)y * w;
+    for (int x = 0; x < w; ++x) out[x] = kc[0] * c[x];
+    for (int j = 1; j <= radius; ++j) {
+      const T* a = row_at(y - j);
+      const T* b = row_at(y + j);
+      if (pad == Pad::kConstant && a == zero.data() && b == zero.data())
+        continue;  // k[j]*(0+0) adds exact 0.0 — skip the pass
+      const T kj = kc[j];
+      for (int x = 0; x < w; ++x) out[x] += kj * (a[x] + b[x]);
+    }
   }
 }
 
@@ -117,13 +138,22 @@ void fundus_elastic(const uint8_t* image, const uint8_t* label,
                     double* rand_x, double* rand_y, int h, int w,
                     double alpha, double sigma, uint8_t* out_image,
                     uint8_t* out_label) {
-  gaussian2d(rand_x, h, w, sigma, Pad::kConstant);
-  gaussian2d(rand_y, h, w, sigma, Pad::kConstant);
+  // Smooth the displacement fields in float32: with ~333 taps the
+  // accumulated relative error is ~1e-6, i.e. displacement error
+  // ~1e-5 px at alpha = 2*W — far inside the contract's +/-1 uint8
+  // slack on resampled pixels (tests/test_native.py) and ~2x faster
+  // than the double path (twice the SIMD lanes, half the traffic).
+  const size_t n = (size_t)h * w;
+  std::vector<float> fx_field(n), fy_field(n);
+  for (size_t i = 0; i < n; ++i) fx_field[i] = (float)rand_x[i];
+  for (size_t i = 0; i < n; ++i) fy_field[i] = (float)rand_y[i];
+  gaussian2d(fx_field.data(), h, w, sigma, Pad::kConstant);
+  gaussian2d(fy_field.data(), h, w, sigma, Pad::kConstant);
 
   for (int y = 0; y < h; ++y) {
     for (int x = 0; x < w; ++x) {
-      double sy = y + rand_x[y * w + x] * alpha;  // reference: dx shifts axis 0
-      double sx = x + rand_y[y * w + x] * alpha;
+      double sy = y + (double)fx_field[y * w + x] * alpha;  // reference: dx shifts axis 0
+      double sx = x + (double)fy_field[y * w + x] * alpha;
       int y0 = static_cast<int>(std::floor(sy));
       int x0 = static_cast<int>(std::floor(sx));
       double fy = sy - y0, fx = sx - x0;

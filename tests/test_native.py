@@ -21,6 +21,34 @@ def test_gaussian2d_matches_scipy():
 
 
 @requires_native
+def test_elastic_matches_scipy_path_full_size():
+    """Production 512x512 / sigma=41 path: the native float32 field
+    smoothing (radius 164, ~333 taps) must stay inside the +/-1 uint8
+    contract at full scale, not just the small-radius 48x48 case below."""
+    rng = np.random.default_rng(7)
+    h = w = 512
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    lbl = (rng.random((h, w)) < 0.3).astype(np.uint8) * 255
+    rx = rng.random((h, w)) * 2 - 1
+    ry = rng.random((h, w)) * 2 - 1
+    alpha, sigma = w * 2.0, w * 0.08
+
+    got_img, got_lbl = native.elastic(img, lbl, rx, ry, alpha, sigma)
+
+    dx = ndi.gaussian_filter(rx, sigma, mode="constant", cval=0) * alpha
+    dy = ndi.gaussian_filter(ry, sigma, mode="constant", cval=0) * alpha
+    x, y = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    idx = (np.reshape(x + dx, (-1, 1)), np.reshape(y + dy, (-1, 1)))
+    want_img = np.zeros((h, w, 3))
+    for c in range(3):
+        want_img[:, :, c] = ndi.map_coordinates(img[:, :, c], idx, order=1).reshape(h, w)
+    want_lbl = ndi.map_coordinates(lbl, idx, order=1, mode="nearest").reshape(h, w)
+
+    assert np.abs(got_img.astype(int) - want_img.astype(np.uint8).astype(int)).max() <= 1
+    assert np.abs(got_lbl.astype(int) - want_lbl.astype(np.uint8).astype(int)).max() <= 1
+
+
+@requires_native
 def test_elastic_matches_scipy_path():
     rng = np.random.default_rng(1)
     h = w = 48
