@@ -24,14 +24,28 @@ _tried = False
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "native")
 
 
+def _candidate_paths():
+    """Shared-object search order: explicit env override, the repo-root
+    Makefile build (source checkout), then the setuptools-built extension
+    installed next to this module (pip install — see setup.py)."""
+    env = os.environ.get("UDA_CLR_NATIVE_LIB")
+    if env:
+        yield env
+    yield os.path.join(_NATIVE_DIR, "libfundus_aug.so")
+    import glob
+
+    yield from sorted(glob.glob(
+        os.path.join(os.path.dirname(__file__), "_fundus_aug*.so")))
+
+
 def _load():
     global _lib, _tried
     with _lock:
         if _tried:
             return _lib
         _tried = True
-        so = os.path.join(_NATIVE_DIR, "libfundus_aug.so")
-        if not os.path.exists(so):
+        so = next((p for p in _candidate_paths() if os.path.exists(p)), None)
+        if so is None and os.path.isdir(_NATIVE_DIR):
             try:
                 subprocess.run(
                     ["make", "-C", _NATIVE_DIR], check=True,
@@ -39,6 +53,9 @@ def _load():
                 )
             except Exception:
                 return None
+            so = os.path.join(_NATIVE_DIR, "libfundus_aug.so")
+        if so is None:
+            return None
         try:
             lib = ctypes.CDLL(so)
         except OSError:
