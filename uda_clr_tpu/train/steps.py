@@ -180,6 +180,11 @@ def _mc_suffix(model, params, stats, feat_predrop, ll, hw, b, t_samples: int,
 
     # boundary head (Decoder.suffix_bound's math), conv1 split over the
     # virtual concat
+    # (A commuted conv1-of-resize — channel mix at the 32x32 pre-resize
+    # grid, 1.24 -> 0.18 TFLOP — was A/B'd on real v5e and RETIRED: the
+    # step's analytic FLOPs drop 6.66 -> 5.6 T but time is a wash/loss
+    # because XLA un-fuses the downstream dropout chain; see PARITY.md
+    # round-3 kernel table.)
     w1 = dec["bound_conv1"]["conv"]["kernel"]  # [3,3,304,256]
     y = _conv(x_up, w1[:, :, :256, :], [(1, 1), (1, 1)]) + \
         _conv(ll_rep, w1[:, :, 256:, :], [(1, 1), (1, 1)])
