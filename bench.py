@@ -129,9 +129,12 @@ def main():
         cost = step.lower(state, data, 1e-3, 2.5e-5, 30).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
+        # cost_analysis() reports PER-DEVICE flops (post-SPMD partitioning;
+        # verified on a sharded einsum over an 8-device mesh), so this is
+        # already the per-chip numerator — no further /n_data.
         step_tflops = float(cost["flops"]) / 1e12
         if peak:
-            mfu = step_tflops / (med_ms / 1e3) / peak / n_data
+            mfu = step_tflops / (med_ms / 1e3) / peak
     except Exception as e:  # relay backends may not expose cost analysis
         print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
 

@@ -143,6 +143,13 @@ void fundus_elastic(const uint8_t* image, const uint8_t* label,
   // ~1e-5 px at alpha = 2*W — far inside the contract's +/-1 uint8
   // slack on resampled pixels (tests/test_native.py) and ~2x faster
   // than the double path (twice the SIMD lanes, half the traffic).
+  // Caveat (documented, accepted): the image path's inside/outside
+  // border test below is DISCONTINUOUS (outside -> cval 0, inside -> up
+  // to 255), so a sample whose true coordinate lies within ~1e-5 px of
+  // an image border can land on the opposite side vs the double/scipy
+  // oracle — a single pixel breaking the +/-1 slack. Borders are
+  // measure-zero in the smoothed field (odds ~1e-5 per 512^2 image);
+  // the parity tests exclude that ambiguous band (test_native.py).
   const size_t n = (size_t)h * w;
   std::vector<float> fx_field(n), fy_field(n);
   for (size_t i = 0; i < n; ++i) fx_field[i] = (float)rand_x[i];

@@ -44,8 +44,24 @@ def test_elastic_matches_scipy_path_full_size():
         want_img[:, :, c] = ndi.map_coordinates(img[:, :, c], idx, order=1).reshape(h, w)
     want_lbl = ndi.map_coordinates(lbl, idx, order=1, mode="nearest").reshape(h, w)
 
-    assert np.abs(got_img.astype(int) - want_img.astype(np.uint8).astype(int)).max() <= 1
-    assert np.abs(got_lbl.astype(int) - want_lbl.astype(np.uint8).astype(int)).max() <= 1
+    # The inside/outside border decision is discontinuous (cval 0 vs an
+    # interpolated value); the native float32 field smoothing carries a
+    # ~1e-5 px coordinate error, so samples landing within that band of a
+    # border may flip the decision vs the double-precision oracle (see
+    # fundus_elastic's caveat comment). Exclude that measure-zero band
+    # from the elementwise contract and assert it IS measure-zero here.
+    sy, sx = x + dx, y + dy
+    eps = 1e-3
+    ambiguous = (
+        (np.abs(sy) < eps) | (np.abs(sy - (h - 1)) < eps)
+        | (np.abs(sx) < eps) | (np.abs(sx - (w - 1)) < eps)
+    )
+    assert ambiguous.mean() < 1e-4
+    ok = ~ambiguous
+    dimg = np.abs(got_img.astype(int) - want_img.astype(np.uint8).astype(int))
+    dlbl = np.abs(got_lbl.astype(int) - want_lbl.astype(np.uint8).astype(int))
+    assert dimg[ok].max() <= 1
+    assert dlbl[ok].max() <= 1
 
 
 @requires_native

@@ -129,6 +129,13 @@ def test_resume_restores_iteration(tmp_path):
     cfg2.run.resume = ckpt_dir
     tr2 = Trainer(cfg2)
     assert tr2.iteration == tr.iteration
+    # the restored counter must stay LIVE through training: the next epoch
+    # increments from it instead of recomputing batch_idx+epoch*len(loader)
+    # (which would silently discard the restored value if the loader
+    # length ever changed between runs)
+    tr2.train_epoch()
+    steps_per_epoch = len(tr2.loader_s)
+    assert tr2.iteration == tr.iteration + steps_per_epoch
 
 
 def test_profile_flag_writes_trace(tmp_path):

@@ -43,6 +43,12 @@ def _load():
     with _lock:
         if _tried:
             return _lib
+        env = os.environ.get("UDA_CLR_NATIVE_LIB")
+        if env and not os.path.exists(env):
+            # an explicit override that can't be honored must fail loudly,
+            # not silently fall back to some other library (checked before
+            # _tried is set so the error repeats on every call)
+            raise FileNotFoundError(f"UDA_CLR_NATIVE_LIB={env!r} does not exist")
         _tried = True
         so = next((p for p in _candidate_paths() if os.path.exists(p)), None)
         if so is None and os.path.isdir(_NATIVE_DIR):

@@ -122,17 +122,6 @@ def dice_loss(probs: jnp.ndarray, targets: jnp.ndarray, smooth: float = 1.0) -> 
     return 1.0 - (2.0 * inter + smooth) / (jnp.sum(p) + jnp.sum(t) + smooth)
 
 
-def adversarial_generator_loss(d_boundary_out, d_uncertainty_out, weight: float = 0.01):
-    """Generator's adversarial term: push target outputs toward the source
-    label (1) through both discriminators, weighted 0.01
-    (Trainer_prototype_full.py:452-458)."""
-    ones_b = jnp.ones_like(d_boundary_out)
-    ones_u = jnp.ones_like(d_uncertainty_out)
-    return weight * (
-        bce_with_logits(d_uncertainty_out, ones_u) + bce_with_logits(d_boundary_out, ones_b)
-    )
-
-
 def discriminator_loss(d_out, is_source: bool) -> jnp.ndarray:
     """PatchGAN discriminator BCE toward domain label 1 (source) / 0
     (target) (Trainer_prototype_full.py:485-508)."""

@@ -123,7 +123,7 @@ class Trainer:
         self.writer = ScalarWriter(cfg.run.out_dir)
         self.timer = StepTimer()
         self.epoch = 0
-        self.iteration = 0
+        self.iteration = -1  # last completed global step; -1 = none yet
         self._profiled = False  # run.profile captures one window per run
         self.best_mean_dice = 0.0
         self.best_epoch = -1
@@ -180,8 +180,11 @@ class Trainer:
         self.epoch = int(meta.get("epoch", -1)) + 1
         self.best_mean_dice = float(meta.get("best_mean_dice", 0.0))
         # restore the global iteration counter so TB/CSV step numbering
-        # continues (the reference restores it, train_use_fix_initial.py:305-306)
-        self.iteration = int(meta.get("iteration", self.epoch * len(self.loader_s)))
+        # continues (the reference restores it, train_use_fix_initial.py:305-306;
+        # train_epoch INCREMENTS from here rather than recomputing
+        # batch_idx + epoch*len(loader), so the restored value stays live
+        # even if the loader length changed between runs)
+        self.iteration = int(meta.get("iteration", self.epoch * len(self.loader_s) - 1))
 
     def _get_step(self, proto_phase: bool):
         key = (proto_phase,)
@@ -243,16 +246,23 @@ class Trainer:
         viz_pending = []
         viz_every = cfg.run.viz_every
         for batch_idx, batch_s in enumerate(self.loader_s.epoch(self.epoch)):
-            self.iteration = batch_idx + self.epoch * len(self.loader_s)
+            self.iteration += 1
             batch_t = next(self._target_iter) if needs_target else None
             batch = self._device_batch(batch_s, batch_t)
             if batch_idx == prof_start:
-                jax.block_until_ready(self.state)
+                # On the tunneled-TPU relay block_until_ready is NOT a
+                # sound barrier (CLAUDE.md); a data-dependent scalar fetch
+                # of the last step's loss is — it forces every queued step
+                # to finish so the trace window starts clean.
+                if pending:
+                    float(pending[-1][1]["loss_all"])
+                else:
+                    jax.block_until_ready(self.state)
                 jax.profiler.start_trace(os.path.join(cfg.run.out_dir, "profile"))
                 prof_open = True
             self.state, metrics = step(self.state, batch, lr_gen, lr_dis, self.epoch)
             if batch_idx == prof_stop:
-                jax.block_until_ready(self.state)
+                float(metrics["loss_all"])  # drain the window (see above)
                 jax.profiler.stop_trace()
                 self._profiled, prof_open = True, False
             viz = metrics.pop("_viz", None)
@@ -265,7 +275,10 @@ class Trainer:
 
         if prof_open:
             # epoch shorter than the profile window: close the trace cleanly
-            jax.block_until_ready(self.state)
+            if pending:
+                float(pending[-1][1]["loss_all"])
+            else:
+                jax.block_until_ready(self.state)
             jax.profiler.stop_trace()
             self._profiled = True
 
