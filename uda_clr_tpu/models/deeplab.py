@@ -111,14 +111,6 @@ class DeepLab(nn.Module):
             mask_logits, boundary_logits, feat, x_bu_feature, x_feature, x1, boundary
         )
 
-    def heads_suffix_bound(self, feat_predrop, ll, train: bool = False, domains: int = 1):
-        """ASPP dropout + decoder boundary path only: returns
-        (x_bu_feature, boundary) at feature resolution — the two inputs of
-        the mask head. The MC fast path feeds these to the fused Pallas
-        mask-head epilogue (train/steps.py, ops/pallas/mask_head.py)."""
-        feat = self.aspp.drop(feat_predrop, train)
-        return self.decoder.suffix_bound(feat, ll, train, domains)
-
     def heads(self, high, low, out_hw, train: bool = False, domains: int = 1) -> DeepLabOutputs:
         """ASPP + dual-head decoder + align-corners upsample to ``out_hw``."""
         feat_predrop, ll = self.heads_prefix(high, low, train, domains)
