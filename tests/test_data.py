@@ -76,3 +76,22 @@ def test_loader_drop_last_static_shapes():
     # different epochs shuffle differently
     b2 = list(loader.epoch(1))
     assert not np.array_equal(batches[0]["image"], b2[0]["image"])
+
+
+def test_forever_fast_forward_is_position_exact():
+    """forever(start_batch=k) must reproduce the uninterrupted stream from
+    position k exactly — same batch composition AND the same per-sample
+    augmentation seeds (bi keeps its absolute index), across epoch
+    boundaries of the cycling stream."""
+    ds = SyntheticFundus(n=5, size=540, transform=train_transforms(512))
+    mk = lambda: BatchLoader(ds, batch_size=2, shuffle=True, drop_last=True,
+                             num_workers=1, seed=3)
+    full = mk().forever()
+    want = [next(full) for _ in range(7)]  # 2 batches/epoch -> 3+ epochs
+    for k in (1, 2, 3, 5):  # mid-epoch, boundary, and later-epoch positions
+        ff = mk().forever(start_batch=k)
+        got = next(ff)
+        np.testing.assert_array_equal(got["image"], want[k]["image"])
+        np.testing.assert_array_equal(got["map"], want[k]["map"])
+        got2 = next(ff)  # stream continues correctly past the entry point
+        np.testing.assert_array_equal(got2["image"], want[k + 1]["image"])

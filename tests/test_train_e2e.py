@@ -236,3 +236,54 @@ def test_bcdm_checkpoint_roundtrip(tmp_path):
     b = np.asarray(tr2.state.cls2_params["decoder"]["mask_out"]["conv"]["kernel"])
     np.testing.assert_array_equal(a, b)
     assert tr2.state.bcdm_opt is not None
+
+
+def test_resume_is_trajectory_exact(tmp_path):
+    """Interrupted+resumed training continues BIT-FOR-BIT like an
+    uninterrupted run: the whole TrainState (params, opt states, banks,
+    PRNG) is checkpointed and the target stream fast-forwards to the
+    restored step (BatchLoader.forever(start_batch=...)). The reference
+    cannot make this guarantee — it re-creates its DataLoaders on resume
+    (train_use_fix_initial.py:168-177), silently restarting the target
+    cycle."""
+    import jax
+
+    from uda_clr_tpu.train import checkpoint as ckpt_lib
+    from uda_clr_tpu.train.trainer import Trainer
+
+    def cfg_for(name):
+        cfg = _tiny_cfg(tmp_path, "prototype_full")
+        cfg.data.synthetic_size = 8  # 2 steps/epoch
+        cfg.run.out_dir = str(tmp_path / name)
+        return cfg
+
+    # straight run: epochs 0 (warmup) + 1 (proto phase)
+    trA = Trainer(cfg_for("straight"))
+    trA.train_epoch()
+    trA.epoch = 1
+    mA = trA.train_epoch()
+
+    # interrupted after epoch 0
+    trB = Trainer(cfg_for("interrupted"))
+    trB.train_epoch()
+    ckpt_dir = str(tmp_path / "interrupted" / "checkpoints")
+    ckpt_lib.save_checkpoint(
+        ckpt_dir, trB.state, epoch=0, best_mean_dice=0.0,
+        tag="checkpoint_1", iteration=trB.iteration,
+    )
+
+    cfgC = cfg_for("resumed")
+    cfgC.run.resume = ckpt_dir
+    trC = Trainer(cfgC)
+    assert trC.epoch == 1 and trC.iteration == trB.iteration
+    mC = trC.train_epoch()
+
+    for k in mA:
+        np.testing.assert_array_equal(mA[k], mC[k], err_msg=f"epoch-1 metric {k}")
+    for pa, pc in zip(
+        jax.tree.leaves(trA.state.gen_params), jax.tree.leaves(trC.state.gen_params)
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pc))
+    np.testing.assert_array_equal(
+        np.asarray(trA.state.proto_trg), np.asarray(trC.state.proto_trg)
+    )

@@ -69,8 +69,14 @@ class BatchLoader:
             batches.append(list(idx))
         return batches
 
-    def epoch(self, epoch: int | None = None):
-        """Yield one epoch of batches with background prefetch."""
+    def epoch(self, epoch: int | None = None, start: int = 0):
+        """Yield one epoch of batches with background prefetch.
+
+        ``start`` skips the first ``start`` batches without paying their
+        augmentation cost; the remaining batches keep their absolute batch
+        index ``bi`` (which seeds the per-sample augmentation rngs), so a
+        stream entered mid-epoch is sample-exact with the full epoch.
+        """
         if epoch is None:
             epoch = self._epoch
             self._epoch += 1
@@ -80,9 +86,10 @@ class BatchLoader:
 
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
-                for bi, idx in enumerate(batches):
+                for bi in range(start, len(batches)):
                     if stop.is_set():
                         return
+                    idx = batches[bi]
                     rngs = [
                         np.random.default_rng((self.seed, epoch, bi, j))
                         for j in range(len(idx))
@@ -102,10 +109,19 @@ class BatchLoader:
         finally:
             stop.set()
 
-    def forever(self):
+    def forever(self, start_batch: int = 0):
         """Endless batch stream (target-domain loader cycling,
-        Trainer_prototype_full.py:279-283)."""
-        epoch = 0
+        Trainer_prototype_full.py:279-283).
+
+        ``start_batch`` fast-forwards the stream to the given global batch
+        index (= batches already consumed) without doing the skipped
+        batches' augmentation work, so a resumed run's target stream lines
+        up exactly with the uninterrupted run's. Positions are only
+        comparable while the dataset length is unchanged between runs.
+        """
+        n = len(self)
+        epoch, off = divmod(start_batch, n) if n else (0, 0)
         while True:
-            yield from self.epoch(epoch)
+            yield from self.epoch(epoch, start=off)
+            off = 0
             epoch += 1

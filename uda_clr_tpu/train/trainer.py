@@ -90,7 +90,6 @@ class Trainer:
         self.loader_val = BatchLoader(
             self.ds_val, bs, shuffle=False, drop_last=False, num_workers=nw
         )
-        self._target_iter = self.loader_t.forever()
 
         dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
         self.model = DeepLab(
@@ -133,6 +132,17 @@ class Trainer:
             self._initial_resume(cfg.run.initial_resume)
         if cfg.run.resume:
             self._resume(cfg.run.resume)
+
+        # The target stream's position equals the number of completed steps
+        # (one target batch per step for the adversarial-family methods), so
+        # starting it at the restored iteration+1 makes resume
+        # trajectory-EXACT: batches, their per-sample augmentation seeds,
+        # and hence losses/params continue bit-for-bit as if uninterrupted
+        # (tests/test_train_e2e.py::test_resume_is_trajectory_exact).
+        # ★ deviation: the reference re-creates its DataLoaders on resume
+        # (train_use_fix_initial.py:168-177,228-256), silently restarting
+        # the target cycle (Trainer_prototype_full.py:279-283).
+        self._target_iter = self.loader_t.forever(start_batch=self.iteration + 1)
 
     # ------------------------------------------------------------------
     def _initial_resume(self, path: str):
