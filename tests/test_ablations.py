@@ -76,6 +76,37 @@ def test_prototype_delete_en_drops_bu_term(tmp_path):
     assert "loss_bu" not in m
 
 
+def test_prototype_wotn_weight_rectify_and_initial_pseudo(tmp_path):
+    """Trainer_prototype_woTN (instruction-verified round 3): the bank
+    method with plain BN, min-max L2-distance weight rectification of the
+    target soft maps, and pseudo-labels from the frozen initial model's
+    'before' heads. The frozen model must not move; the rectified run must
+    diverge from the plain bank run on the same seed/data."""
+    tr, m = _one_epoch(
+        tmp_path, "prototype", use_weight_rectify=True, pseudo_from_initial=True
+    )
+    assert "loss_cup" in m and "loss_disc" in m and "loss_bu" in m
+    # the frozen pseudo-label model is present and training moved only the
+    # live generator away from it
+    import jax
+
+    assert tr.state.initial_params is not None
+    diffs = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        tr.state.initial_params, tr.state.gen_params,
+    )
+    assert max(jax.tree.leaves(diffs)) > 0
+
+    cfg2 = _tiny_cfg(tmp_path, "prototype", warmup_epoch=0)
+    cfg2.run.out_dir = str(tmp_path / "bank_plain")
+    from uda_clr_tpu.train.trainer import Trainer
+
+    tr2 = Trainer(cfg2)
+    tr2.epoch = 1
+    m_plain = tr2.train_epoch()
+    assert m["loss_cup"] != m_plain["loss_cup"]  # rectification changed the pools
+
+
 def test_default_config_unchanged_by_switches(tmp_path):
     """The new switches default to the full method: prototype_full still
     reports both D losses and the adversarial term."""

@@ -15,17 +15,26 @@ batch) and are platform-stable to ~1e-5; tolerances allow BLAS
 reassociation noise only.
 
 Formula citations:
-  * bcdm: discrepancy = mean|sigmoid(v1)-sigmoid(v2)| (Trainer_bcdm
-    bytecode: discrepancy_calc uses torch.sigmoid/mean/abs); 3-phase
-    A/B/C choreography per MCD (Saito et al. CVPR'18).
-  * mean_teacher: consistency = MSE(sig(student), sig(teacher)) over
-    mask + boundary heads, rampup-weighted (Trainer_MT bytecode:
-    consistency symbols + utils/ramps.py).
-  * prototype_mt: loss_aug = confidence-masked BCE between the strong-aug
-    forward and plain pseudo-labels (conf = p>thr or p<1-thr);
-    loss_src_reg = prototype-guided cosine hinge
-    (ops/prototypes.py:source_discriminative_loss, bytecode symbols
-    xs_feature_norm/sourcecentroid_*_norm/loss_{0,1}_{obj,bck}).
+  * bcdm: instruction-verified (tools/pyc_disasm.py over
+    Trainer_bcdm.cpython-38.pyc): discrepancy =
+    mean|sigmoid(v1)-sigmoid(v2)| on MASK logits only (:308,:324);
+    phase A segs with temperature 1.8 on the mask logits (:235-243);
+    phase B = 0.01*cdd_before minimized by the CLASSIFIERS (positive
+    sign, :314-316); phase C = 4 inner iterations of 0.01*cdd_after on
+    the feature extractor (:318-330).
+  * mean_teacher: instruction-verified (tools/pyc_disasm.py over
+    Trainer_MT.cpython-38.pyc :239,:339): consistency =
+    nn.MSELoss()(sig(oT_student), sig(oT_teacher)) on the MASK head only,
+    rampup-weighted; EMA alpha = min(1-1/(step+1), 0.99) (:30-34).
+  * prototype_mt: instruction-verified against the disassembled bytecode
+    (tools/pyc_disasm.py over Trainer_prototype_mt.cpython-38.pyc).
+    loss_aug = MC-std-confidence-masked BCE between the strong-aug forward
+    and pseudo-labels at the ramped threshold
+    (0.85+0.25*sigmoid_rampup(epoch,200))*ln2, aug_weight folded into the
+    logged value, NOT added to the G loss (the bytecode never backwards
+    it; train_epoch :498-568). loss_src_reg = Euclidean margin hinge
+    mean(pred_i * relu(d_own - d_other + 0.01)) over 4 region terms with
+    channel-mean squared distances (train_epoch :438-476).
 """
 
 import numpy as np
@@ -85,24 +94,24 @@ def _run_one_step(method: str, proto_phase: bool = False, **overrides):
 # Stored goldens (see module docstring for provenance).
 GOLDEN = {
     "bcdm": {
-        "loss_seg": 1.8098876476,
-        "loss_cdd_before": 0.4178681672,
-        "loss_cdd_after": 1.2517529726,
-        "loss_all": 3.0616407394,
+        "loss_seg": 1.6876500845,
+        "loss_cdd_before": 0.2262520790,
+        "loss_cdd_after": 0.1964544803,
+        "loss_all": 1.6918771267,
     },
     "mean_teacher": {
         "loss_seg": 0.9207851887,
-        "loss_consistency": 0.0905253440,
+        "loss_consistency": 0.0523788743,
         "loss_adv": 0.0138508985,
-        "loss_all": 1.0251615047,
+        "loss_all": 0.9870150089,
     },
     "prototype_mt": {
         "loss_seg": 0.9207851887,
-        "loss_aug": 0.2610992789,
-        "loss_src_reg": 0.0019001267,
-        "loss_intra": 0.2640154362,
-        "loss_inter": 0.0123099405,
-        "loss_all": 0.9871665835,
+        "loss_aug": 0.0461569466,
+        "loss_src_reg": 0.0207180083,
+        "loss_intra": 0.2640155256,
+        "loss_inter": 0.0123099387,
+        "loss_all": 0.9612448812,
     },
 }
 
@@ -133,29 +142,44 @@ def test_prototype_mt_golden(dropout_off):
 
 
 def test_aug_consistency_masking_rule(dropout_off):
-    """The confidence mask keeps only pixels the plain forward is sure
-    about: p > thr (pseudo-positive) or p < 1-thr (pseudo-negative).
-    Pinned directly on the formula with a hand-checkable input."""
+    """Bytecode-verified loss_aug weighting (train_epoch :509-561): the
+    per-pixel weight is the MC-std confidence mask from
+    gen_prototype_retrify (mask_i = 2*(std<0.04), the {0,2} scaling
+    cancels in the normalized sum), the pseudo-label threshold ramps as
+    (0.85 + 0.25*sigmoid_rampup(epoch, 200)) * ln2, and aug_weight is
+    folded into the logged value. Pinned on a hand-checkable input."""
     from uda_clr_tpu.ops import losses as L
 
-    thr = 0.75
-    p_plain = np.array([0.9, 0.5, 0.1, 0.76, 0.24])  # conf: T F T T T
-    conf = np.logical_or(p_plain > thr, p_plain < 1.0 - thr).astype(np.float32)
-    np.testing.assert_array_equal(conf, [1, 0, 1, 1, 1])
+    epoch = 26.0
+    ramp = np.exp(-5.0 * (1.0 - np.clip(epoch, 0, 200) / 200.0) ** 2)
+    thr = (0.85 + 0.25 * ramp) * np.log(2.0)
+    assert abs(thr - 0.5931) < 2e-4  # hand-computed for epoch 26
+
+    p_plain = np.array([0.9, 0.5, 0.1, 0.76, 0.24])
     pseudo = (p_plain > thr).astype(np.float32)
+    np.testing.assert_array_equal(pseudo, [1, 0, 0, 1, 0])
+    std = np.array([0.01, 0.05, 0.02, 0.03, 0.08], np.float32)
+    mask_ref = 2.0 * (std < 0.04).astype(np.float32)  # reference's {0,2} mask
+    conf = (std < 0.04).astype(np.float32)  # ours
     o_aug = np.array([2.0, 0.0, -3.0, 1.0, -1.0], np.float32)
-    per_px = np.asarray(L.bce_sigmoid_stable_elementwise(jnp.asarray(o_aug), jnp.asarray(pseudo)))
-    want = (per_px * conf).sum() / (conf.sum() + 1e-7)
-    # independent numpy transcription of stable BCE-with-logits
+    per_px = np.asarray(
+        L.bce_sigmoid_stable_elementwise(jnp.asarray(o_aug), jnp.asarray(pseudo))
+    )
+    aug_weight = 0.1
+    got = aug_weight * (per_px * conf).sum() / conf.sum()
+    # independent numpy transcription: torch bceloss_aug on sigmoid +
+    # reference's sum(mask*l)/sum(mask) with the {0,2} mask
     ref = np.maximum(o_aug, 0) - o_aug * pseudo + np.log1p(np.exp(-np.abs(o_aug)))
-    want_ref = (ref * conf).sum() / (conf.sum() + 1e-7)
-    assert abs(want - want_ref) < 1e-6
+    want = aug_weight * (ref * mask_ref).sum() / mask_ref.sum()
+    assert abs(got - want) < 1e-6
 
 
 def test_source_discriminative_loss_numpy_oracle():
-    """Independent numpy transcription of the reconstructed cosine-hinge
-    regularizer (pixels closer to their own region centroid than the
-    opposite one, squared hinge, region-mask-weighted mean)."""
+    """Independent numpy transcription of the bytecode's loss_src_reg
+    (Trainer_prototype_mt train_epoch offsets 1886-2244 / source
+    :454-474): channel-mean squared Euclidean distances, margin-0.01
+    hinge, soft-region-weighted PLAIN mean (no mask normalization, no
+    feature/centroid normalization)."""
     from uda_clr_tpu.ops import prototypes as P
 
     rng = np.random.default_rng(3)
@@ -168,23 +192,28 @@ def test_source_discriminative_loss_numpy_oracle():
         jnp.asarray(feat), jnp.asarray(pred), bank
     ))
 
-    f = feat / (np.linalg.norm(feat, axis=-1, keepdims=True) + 1e-12)
+    def d(c):
+        return ((feat - c) ** 2).mean(axis=-1)  # [B,h,w]
 
-    def unit(v):
-        return v / (np.linalg.norm(v) + 1e-12)
-
-    def hinge(own, other, mask):
-        so = np.einsum("bhwc,c->bhw", f, unit(own))
-        st = np.einsum("bhwc,c->bhw", f, unit(other))
-        viol = np.maximum(st - so, 0.0)
-        m = mask[..., 0]
-        return (viol**2 * m).sum() / (m.sum() + 1e-12)
-
-    cup, disc = pred[..., 0:1], pred[..., 1:2]
+    cup, disc = pred[..., 0], pred[..., 1]
     want = (
-        hinge(bank.cup_obj, bank.cup_bck, cup)
-        + hinge(bank.cup_bck, bank.cup_obj, 1.0 - cup)
-        + hinge(bank.disc_obj, bank.disc_bck, disc)
-        + hinge(bank.disc_bck, bank.disc_obj, 1.0 - disc)
+        (cup * np.maximum(d(bank.cup_obj) - d(bank.cup_bck) + 0.01, 0)).mean()
+        + ((1 - cup) * np.maximum(d(bank.cup_bck) - d(bank.cup_obj) + 0.01, 0)).mean()
+        + (disc * np.maximum(d(bank.disc_obj) - d(bank.disc_bck) + 0.01, 0)).mean()
+        + ((1 - disc) * np.maximum(d(bank.disc_bck) - d(bank.disc_obj) + 0.01, 0)).mean()
     )
     assert abs(got - want) < 1e-5
+
+
+def test_loss_aug_not_in_objective_by_default(dropout_off):
+    """The compiled reference never backwards loss_aug (the bytecode's
+    only backwards are loss_all and the two D updates), so with the
+    default aug_backward=False the G objective must not contain it —
+    and flipping use_trg_cons must not change loss_all."""
+    m_on = _run_one_step("prototype_mt", proto_phase=True)
+    m_off = _run_one_step("prototype_mt", proto_phase=True, use_trg_cons=False)
+    assert "loss_aug" in m_on and "loss_aug" not in m_off
+    assert abs(m_on["loss_all"] - m_off["loss_all"]) < 1e-7
+
+    m_bw = _run_one_step("prototype_mt", proto_phase=True, aug_backward=True)
+    assert abs(m_bw["loss_all"] - (m_on["loss_all"] + m_on["loss_aug"])) < 1e-5

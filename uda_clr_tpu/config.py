@@ -81,6 +81,17 @@ class MethodConfig:
     # paper-complete CLR losses (Trainer_prototype_mt)
     use_trg_cons: bool = True
     aug_weight: float = 0.1
+    # The compiled reference computes and LOGS loss_aug but never backwards
+    # it (bytecode has only loss_all + two D backwards). False reproduces
+    # that; True opts into the paper's stated semantics (add to the G loss).
+    aug_backward: bool = False
+    # Trainer_prototype_woTN (bytecode): multiply the target soft maps by
+    # the min-max-normalized L2-distance weights to the bank vectors before
+    # thresholding (:381-382/:399/:423 — commented out in the checked-in
+    # Trainer_prototype.py:396/413/437), and source the pseudo-labels from
+    # the frozen initial-resume model's 'before' heads (:309-311/:373-377).
+    use_weight_rectify: bool = False
+    pseudo_from_initial: bool = False
     src_reg: bool = True
     src_reg_weight: float = 0.01
     # mean teacher

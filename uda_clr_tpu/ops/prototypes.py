@@ -211,47 +211,60 @@ def inter_domain_loss(src: Prototypes) -> jnp.ndarray:
 
 def source_discriminative_loss(
     feature: jnp.ndarray,  # [B, h, w, C] source features
-    pred: jnp.ndarray,  # [B, h, w, 2] soft GT masks at feature res
-    bank: Prototypes,
+    pred: jnp.ndarray,  # [B, h, w, 2] GT masks nearest-resized to feature res
+    protos: Prototypes,
 ) -> jnp.ndarray:
-    """Prototype-guided discriminative regularization on source.
+    """Prototype-guided discriminative regularization on source
+    (``loss_src_reg`` of the bytecode-only Trainer_prototype_mt).
 
-    Reconstruction of the bytecode-only ``loss_src_reg`` of
-    Trainer_prototype_mt (symbols: xs_feature_norm,
-    sourcecentroid_*_norm, loss_{0,1}_{obj,bck}, F.normalize, relu, pow,
-    mean): features and centroids are L2-normalized along channels; pixels
-    of each region are pushed to be closer (cosine) to their own centroid
-    than to the opposite region's centroid via a hinge
-    ``relu(sim_other - sim_own)``, weighted by the region mask.
+    Instruction-verified against the disassembly (tools/pyc_disasm.py) of
+    Trainer_prototype_mt.cpython-38.pyc, train_epoch offsets 1866-2244
+    (source :438-476): per-pixel squared Euclidean distances to the own- and
+    opposite-region centroids, CHANNEL-MEAN (``torch.mean(pow(f-c,2),dim=1)``),
+    hinged with margin +0.01 (``F.relu(d_own - d_other + 0.01)``), weighted by
+    the region's soft GT mask (``pred_oS[:, i]`` / ``1 - pred_oS[:, i]``) and
+    reduced with a plain global mean (NOT mask-normalized). The ``*_norm``
+    locals in the bytecode are straight aliases — there is NO feature or
+    centroid normalization (offsets 1866-1884 are bare LOAD/STORE pairs).
+    Gradients flow into both the features and the centroids: the bytecode's
+    loss reads the grad-carrying EMA blends, not ``self.*`` (which store
+    ``.detach()`` copies for the next iteration).
+
+        loss_i_obj = mean( pred_i     * relu(d(f,c_i_obj) - d(f,c_i_bck) + 0.01) )
+        loss_i_bck = mean((1-pred_i)  * relu(d(f,c_i_bck) - d(f,c_i_obj) + 0.01) )
+        loss = loss_0_obj + loss_0_bck + loss_1_obj + loss_1_bck   (0=cup, 1=disc)
     """
-    f = feature / (jnp.linalg.norm(feature, axis=-1, keepdims=True) + _EPS)
+    margin = 0.01
 
-    def unit(v):
-        return v / (jnp.linalg.norm(v) + _EPS)
+    def chan_dist(c):
+        return jnp.mean(jnp.square(feature - c), axis=-1)  # [B, h, w]
 
-    def hinge(own, other, mask):
-        sim_own = jnp.einsum("bhwc,c->bhw", f, unit(own))
-        sim_other = jnp.einsum("bhwc,c->bhw", f, unit(other))
-        viol = jax.nn.relu(sim_other - sim_own)
-        m = mask[..., 0]
-        return jnp.sum(jnp.square(viol) * m) / (jnp.sum(m) + _EPS)
-
-    cup = pred[..., 0:1]
-    disc = pred[..., 1:2]
-    loss_0_obj = hinge(bank.cup_obj, bank.cup_bck, cup)
-    loss_0_bck = hinge(bank.cup_bck, bank.cup_obj, 1.0 - cup)
-    loss_1_obj = hinge(bank.disc_obj, bank.disc_bck, disc)
-    loss_1_bck = hinge(bank.disc_bck, bank.disc_obj, 1.0 - disc)
+    d_cup_obj = chan_dist(protos.cup_obj)
+    d_cup_bck = chan_dist(protos.cup_bck)
+    d_disc_obj = chan_dist(protos.disc_obj)
+    d_disc_bck = chan_dist(protos.disc_bck)
+    cup = pred[..., 0]
+    disc = pred[..., 1]
+    loss_0_obj = jnp.mean(cup * jax.nn.relu(d_cup_obj - d_cup_bck + margin))
+    loss_0_bck = jnp.mean((1.0 - cup) * jax.nn.relu(d_cup_bck - d_cup_obj + margin))
+    loss_1_obj = jnp.mean(disc * jax.nn.relu(d_disc_obj - d_disc_bck + margin))
+    loss_1_bck = jnp.mean((1.0 - disc) * jax.nn.relu(d_disc_bck - d_disc_obj + margin))
     return loss_0_obj + loss_0_bck + loss_1_obj + loss_1_bck
 
 
-def masked_pool_mean(feature: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Per-image masked pooling with +1-smoothed denominator, then batch
-    mean: ``mean_b( sum_hw(feat*mask) / (sum_hw(mask)+1) )`` — the bmm
-    pooling used by Trainer_prototype (:360-383) and cal_prototype
-    (:156-175). [B,h,w,C] x [B,h,w,1] -> [C]."""
+def masked_pool_mean(
+    feature: jnp.ndarray, mask: jnp.ndarray, eps: float = 1.0
+) -> jnp.ndarray:
+    """Per-image masked pooling with smoothed denominator, then batch
+    mean: ``mean_b( sum_hw(feat*mask) / (sum_hw(mask)+eps) )`` — the bmm
+    pooling used by Trainer_prototype (:360-383, eps=+1 everywhere) and
+    cal_prototype (:156-175). The bytecode-only
+    Trainer_prototype_delete_en uses eps=+1e-16 for the cup/disc pools
+    (keeping +1 for bu) — instruction-verified via tools/pyc_disasm.py
+    (train_epoch :388/:395 and the target-side pools).
+    [B,h,w,C] x [B,h,w,1] -> [C]."""
     num = jnp.sum(feature * mask, axis=(1, 2))  # [B, C]
-    den = jnp.sum(mask, axis=(1, 2)) + 1.0  # [B, 1]
+    den = jnp.sum(mask, axis=(1, 2)) + eps  # [B, 1]
     return jnp.mean(num / den, axis=0)
 
 

@@ -63,6 +63,14 @@ class TrainState:
     cls2_stats: Any = None
     bcdm_opt: Any = None
 
+    # frozen initial-pseudolabel model (Trainer_prototype_woTN bytecode
+    # :309-311/:373-377: a separate DeepLab loaded from --initial_resume
+    # whose 'before' heads supply the target pseudo-labels when
+    # use_fix_initial is on). Populated by the trainer as a snapshot of
+    # gen params/stats right after the initial-resume merge; never updated.
+    initial_params: Any = None
+    initial_stats: Any = None
+
 
 def create_train_state(
     model: DeepLab,

@@ -26,6 +26,7 @@ traced input, so no retraces during training.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Any
 
 import jax
@@ -281,61 +282,68 @@ def _mc_dropout_forward(model, params, stats, imageT, rng, t_samples: int,
 def make_bcdm_step(model: DeepLab, cfg: Config):
     """Bi-classifier discrepancy step (bytecode-only ``Trainer_bcdm``).
 
-    Reconstruction evidence (Trainer_bcdm.cpython-38.pyc symbols/consts):
-    ``model_fea`` + ``model_cls_1``/``model_cls_2`` with separate
-    ``optim_fea``/``optim_cls``; a ``discrepancy_calc`` helper whose
-    docstring reads "dis_loss for two different classifiers / input:
-    v1,v2 / output: discrepancy" and whose code objects reference only
-    ``torch.sigmoid``/``mean``/``abs`` → ``mean(|sigmoid(v1)-sigmoid(v2)|)``;
-    per-iteration scalars ``train/loss_cdd_before`` and
-    ``train/loss_cdd_after``; epoch summary "Average segLoss / Average cdd
-    loss before / Average cdd loss after". This matches the classic
-    bi-classifier 3-phase choreography (MCD, Saito et al. CVPR'18 / BCDM,
-    Li et al. AAAI'21), reconstructed here as:
+    Round 3: **instruction-verified** against the full ``tools/pyc_disasm.py``
+    disassembly of ``Trainer_bcdm.cpython-38.pyc`` (train_epoch, source
+    lines 202-372). The compiled choreography per iteration — which
+    deviates from the MCD paper in ways round 2's symbol-level
+    reconstruction guessed wrong — is:
 
-      A. train F + C1 + C2 with the supervised source seg loss;
-      B. freeze F, train C1/C2 to keep source accuracy while MAXIMIZING
-         target discrepancy (``cdd_before`` = the discrepancy value);
-      C. freeze C1/C2, train F to MINIMIZE target discrepancy
-         (``cdd_after``).
+      A. (:224-287) zero grads; source forward through ``model_fea`` +
+         both classifiers; mask logits divided by **temperature 1.8**
+         (:235-237); ``loss_seg = BCE(sig(oS_1/1.8)) + BCE(sig(oS_2/1.8))
+         + MSE(sig(bS_1)) + MSE(sig(bS_2))``; backward; BOTH
+         ``optim_fea.step()`` and ``optim_cls.step()``.
+      B. (:290-316) zero grads; a fresh source forward recomputes an
+         un-tempered ``loss_seg`` that is NEVER backwarded or logged
+         (dead except its train-mode BN running-stat updates — we keep
+         the forward for the stat side-effects and let XLA drop the dead
+         value); target forward; ``loss_cdd_before =
+         discrepancy(oT_1, oT_2)`` — **mask logits only**, no boundary
+         term (:308); ``loss_all = 0.01 * loss_cdd_before``; backward;
+         ``optim_cls.step()`` ONLY. Note the POSITIVE sign: as compiled,
+         phase B *minimizes* the discrepancy w.r.t. the classifiers (the
+         MCD paper maximizes it and keeps a seg term; the reference does
+         neither).
+      C. (:318-330) ``for k in range(4)``: zero grads; target forward;
+         ``loss_cdd_after = discrepancy(oT_1, oT_2)``; ``total_loss =
+         0.01 * loss_cdd_after``; backward; ``optim_fea.step()``.
+
+    ``discrepancy_calc`` (:26-37) = ``mean(|sigmoid(v1) - sigmoid(v2)|)``.
 
     The split here is F = backbone, C_i = ASPP+decoder+upsample (the
     model's existing features/heads seam). Three Adam optimizers with
-    independent step counts (``state.bcdm_opt``); both use ``lr_gen``
-    (the bytecode stores separate fea/cls learning rates, both created
-    from the same 1e-3 const).
-
-    Two reconstruction ASSUMPTIONS not directly evidenced by the bytecode
-    (recorded so a future source drop can be diffed against them):
-    (1) the bytecode shows TWO optimizers (``optim_fea``/``optim_cls``,
-    the latter presumably over C1+C2 jointly) vs the three Adam states
-    used here — numerically equivalent for per-parameter Adam, which has
-    no cross-parameter coupling; (2) the discrepancy term here includes
-    BOTH heads (mask + boundary logits); the bytecode's
-    ``discrepancy_calc`` shows only sigmoid/mean/abs and does not pin
-    which model outputs are passed in. Classifier 1 doubles as the eval model
-    (``gen_params``); classifier 2 lives in ``state.cls2_params/stats``.
-    Each phase runs its forwards in train mode with mutable running stats,
-    chained A -> B -> C like the reference's sequential optimizer steps.
+    independent step counts (``state.bcdm_opt``) stand in for the
+    bytecode's two (``optim_fea``/``optim_cls`` with C1+C2 joint) —
+    numerically equivalent for per-parameter Adam, which has no
+    cross-parameter coupling. Both use ``lr_gen`` (the bytecode creates
+    both LRs from the same 1e-3 const). Classifier 1 doubles as the eval
+    model (``gen_params``); classifier 2 lives in
+    ``state.cls2_params/stats``. Each phase runs its forwards in train
+    mode with mutable running stats, chained A -> B -> C like the
+    reference's sequential optimizer steps. ``loss_all`` in the metrics
+    is OUR monitoring aggregate of the three backwarded objectives (the
+    reference logs no such scalar).
     """
     tx = optim_lib.adam_direction(cfg.optim.adam_b1, cfg.optim.adam_b2)
     compute_dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
     CLS_KEYS = ("aspp", "decoder")
+    TEMPERATURE = 1.8  # Trainer_bcdm.py:235 (LOAD_CONST 1.8)
+    CDD_WEIGHT = 0.01  # :314 / :326
+    INNER_FEA_STEPS = 4  # :318 (range(4))
 
     def discrepancy(v1, v2):
         return jnp.mean(jnp.abs(jax.nn.sigmoid(v1) - jax.nn.sigmoid(v2)))
 
-    def seg_loss(outs, map_s, boundary_s):
-        o = outs.mask_logits.astype(jnp.float32)
+    def seg_loss(outs, map_s, boundary_s, temp=1.0):
+        o = outs.mask_logits.astype(jnp.float32) / temp
         bd = outs.boundary_logits.astype(jnp.float32)
         return L.bce_sigmoid_stable(o, map_s) + L.mse(jax.nn.sigmoid(bd), boundary_s)
 
     def step(state: TrainState, batch: dict, lr_gen, lr_dis, epoch):
-        rng, *ks = jax.random.split(state.rng, 7)
+        rng, *ks = jax.random.split(state.rng, 16)
         image_s = batch["image_s"].astype(compute_dtype)
         map_s, boundary_s = batch["map_s"], batch["boundary_s"]
         image_t = batch["image_t"].astype(compute_dtype)
-        b = image_s.shape[0]
         out_hw = (image_s.shape[1], image_s.shape[2])
 
         fea = {"backbone": state.gen_params["backbone"]}
@@ -361,12 +369,16 @@ def make_bcdm_step(model: DeepLab, cfg: Config):
             )
             return outs, upd["batch_stats"]
 
-        # ---- A: supervised source step for F, C1, C2 ----
+        # ---- A: supervised source step for F, C1, C2 (mask logits
+        # tempered by 1.8, boundary MSE untempered — :235-243) ----
         def loss_a(fea_p, cls1_p, cls2_p):
             high, low, new_bb = features(fea_p, bb_stats, image_s, 1)
             o1, new_c1 = heads(cls1_p, cls1_stats, high, low, 1, ks[0])
             o2, new_c2 = heads(cls2_p, cls2_stats, high, low, 1, ks[1])
-            loss = seg_loss(o1, map_s, boundary_s) + seg_loss(o2, map_s, boundary_s)
+            loss = (
+                seg_loss(o1, map_s, boundary_s, TEMPERATURE)
+                + seg_loss(o2, map_s, boundary_s, TEMPERATURE)
+            )
             viz = {
                 "pred_s": jax.nn.sigmoid(o1.mask_logits.astype(jnp.float32)[0]),
                 "pred_b_s": jax.nn.sigmoid(o1.boundary_logits.astype(jnp.float32)[0]),
@@ -387,22 +399,22 @@ def make_bcdm_step(model: DeepLab, cfg: Config):
             else:
                 cls2 = new_p
 
-        # ---- B: freeze F; C1/C2 keep source accuracy, maximize target
-        # discrepancy (cdd_before) ----
+        # ---- B (:290-316): the dead source forward (loss never
+        # backwarded/logged) runs only for its train-mode BN running-stat
+        # updates; then 0.01*discrepancy(target mask logits) steps the
+        # CLASSIFIERS (positive sign — see docstring) ----
+        high_s, low_s, bb_stats = features(fea, bb_stats, image_s, 1)
+        _, cls1_stats = heads(cls1, cls1_stats, high_s, low_s, 1, ks[2])
+        _, cls2_stats = heads(cls2, cls2_stats, high_s, low_s, 1, ks[3])
+
         def loss_b(cls1_p, cls2_p):
-            x_all = jnp.concatenate([image_s, image_t], axis=0)
-            high, low, new_bb = features(fea, bb_stats, x_all, 2)
-            o1, new_c1 = heads(cls1_p, cls1_stats, high, low, 2, ks[2])
-            o2, new_c2 = heads(cls2_p, cls2_stats, high, low, 2, ks[3])
-            s1, t1 = _split(o1, b)
-            s2, t2 = _split(o2, b)
-            seg = seg_loss(s1, map_s, boundary_s) + seg_loss(s2, map_s, boundary_s)
+            high, low, new_bb = features(fea, bb_stats, image_t, 1)
+            o1, new_c1 = heads(cls1_p, cls1_stats, high, low, 1, ks[4])
+            o2, new_c2 = heads(cls2_p, cls2_stats, high, low, 1, ks[5])
             cdd = discrepancy(
-                t1.mask_logits.astype(jnp.float32), t2.mask_logits.astype(jnp.float32)
-            ) + discrepancy(
-                t1.boundary_logits.astype(jnp.float32), t2.boundary_logits.astype(jnp.float32)
+                o1.mask_logits.astype(jnp.float32), o2.mask_logits.astype(jnp.float32)
             )
-            return seg - cdd, (cdd, new_bb, new_c1, new_c2)
+            return CDD_WEIGHT * cdd, (cdd, new_bb, new_c1, new_c2)
 
         (l_b, (cdd_before, bb_stats, cls1_stats, cls2_stats)), grads_b = (
             jax.value_and_grad(loss_b, argnums=(0, 1), has_aux=True)(cls1, cls2)
@@ -412,29 +424,33 @@ def make_bcdm_step(model: DeepLab, cfg: Config):
         upd2, opt["cls2"] = tx.update(grads_b[1], opt["cls2"], cls2)
         cls2 = optim_lib.apply_updates(cls2, upd2, lr_gen)
 
-        # ---- C: freeze C1/C2; F minimizes target discrepancy (cdd_after) ----
-        def loss_c(fea_p):
-            high, low, new_bb = features(fea_p, bb_stats, image_t, 1)
-            o1, new_c1 = heads(cls1, cls1_stats, high, low, 1, ks[4])
-            o2, new_c2 = heads(cls2, cls2_stats, high, low, 1, ks[5])
+        # ---- C (:318-330): 4 inner iterations, each a fresh target
+        # forward; 0.01*discrepancy steps the FEATURE EXTRACTOR ----
+        def loss_c(fea_p, c1_stats, c2_stats, bbs, k1, k2):
+            high, low, new_bb = features(fea_p, bbs, image_t, 1)
+            o1, new_c1 = heads(cls1, c1_stats, high, low, 1, k1)
+            o2, new_c2 = heads(cls2, c2_stats, high, low, 1, k2)
             cdd = discrepancy(
                 o1.mask_logits.astype(jnp.float32), o2.mask_logits.astype(jnp.float32)
-            ) + discrepancy(
-                o1.boundary_logits.astype(jnp.float32), o2.boundary_logits.astype(jnp.float32)
             )
-            return cdd, (new_bb, new_c1, new_c2)
+            return CDD_WEIGHT * cdd, (cdd, new_bb, new_c1, new_c2)
 
-        (cdd_after, (bb_stats, cls1_stats, cls2_stats)), grad_c = jax.value_and_grad(
-            loss_c, has_aux=True
-        )(fea)
-        upd_f, opt["fea"] = tx.update(grad_c, opt["fea"], fea)
-        fea = optim_lib.apply_updates(fea, upd_f, lr_gen)
+        cdd_after = 0.0
+        for k in range(INNER_FEA_STEPS):
+            (_, (cdd_after, bb_stats, cls1_stats, cls2_stats)), grad_c = (
+                jax.value_and_grad(loss_c, has_aux=True)(
+                    fea, cls1_stats, cls2_stats, bb_stats,
+                    ks[6 + 2 * k], ks[7 + 2 * k],
+                )
+            )
+            upd_f, opt["fea"] = tx.update(grad_c, opt["fea"], fea)
+            fea = optim_lib.apply_updates(fea, upd_f, lr_gen)
 
         metrics = {
             "loss_seg": l_a,
             "loss_cdd_before": cdd_before,
             "loss_cdd_after": cdd_after,
-            "loss_all": l_a + cdd_after,
+            "loss_all": l_a + CDD_WEIGHT * (cdd_before + cdd_after),
             "_viz": viz,
         }
         new_state = state.replace(
@@ -476,10 +492,17 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
     * ``bank_use_bu=False`` — Trainer_prototype_delete_en: the bu
       prototype-distance term dropped from the bank method's loss
       (bytecode logs ``train_pro/loss_cup``/``loss_disc`` but NO
-      ``train_pro/loss_bu``, unlike Trainer_prototype). NOTE: delete_en's
-      bytecode still contains BOTH discriminators and extra
-      source-weighting machinery (``get_prototype_weight_souce``,
-      ``proj_key_x_bu``) not reconstructed here; see PARITY.md §2.2.
+      ``train_pro/loss_bu``, unlike Trainer_prototype), cup/disc pools
+      smoothed with +1e-16 instead of +1, and no target bu pooling/EMA
+      (instruction-verified round 3). Its ``get_prototype_weight_souce``
+      output feeds only a TB image, never a loss — verified, see PARITY.md.
+    * ``use_weight_rectify=True`` (+ ``pseudo_from_initial=True`` with
+      ``--initial-resume``) — Trainer_prototype_woTN (instruction-verified
+      round 3): the bank method with plain BN (``norm='bn'``; the separate
+      S/T forwards its bytecode shows ARE our ``domains=2`` per-half
+      semantics), target soft maps multiplied by the min-max L2-distance
+      weights to the bank vectors before thresholding, and pseudo-labels
+      from the frozen initial-resume model's 'before' heads.
     """
     if method == "bcdm":
         return make_bcdm_step(model, cfg)
@@ -500,6 +523,13 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
     use_proto_full = method in ("prototype_full", "prototype_mt") and proto_phase
     use_proto_bank = method == "prototype" and proto_phase
     use_mt_losses = method == "prototype_mt" and proto_phase
+    if use_mt_losses and mcfg.use_trg_cons and not mcfg.retrify_pseudo:
+        raise ValueError(
+            "use_trg_cons requires retrify_pseudo=True: the reference "
+            "weights loss_aug by gen_prototype_retrify's MC-std confidence "
+            "masks (Trainer_prototype_mt bytecode raises NameError on "
+            "mask_0/mask_1 without the retrify branch)"
+        )
     use_teacher = method == "mean_teacher"
 
     def step(state: TrainState, batch: dict, lr_gen, lr_dis, epoch):
@@ -709,9 +739,12 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
                 aux["new_trg"] = jax.lax.stop_gradient(trg.stack())
 
                 if use_mt_losses and mcfg.src_reg:
+                    # grad-carrying EMA centroids, per the bytecode (the
+                    # detach() copies only seed the NEXT iteration); the
+                    # reference NameErrors here when use_pid is off — ours
+                    # couples src_reg to the prototype block by nesting.
                     src_reg = P.source_discriminative_loss(
-                        out_s.x_feature.astype(jnp.float32), pred_s,
-                        jax.tree.map(jax.lax.stop_gradient, src),
+                        out_s.x_feature.astype(jnp.float32), pred_s, src
                     )
                     loss = loss + mcfg.src_reg_weight * src_reg
                     m["loss_src_reg"] = src_reg
@@ -724,26 +757,70 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
                 feat_hw = (out_s.x_feature.shape[1], out_s.x_feature.shape[2])
                 from uda_clr_tpu.ops.resize import resize_bilinear_align_corners
 
+                # Trainer_prototype.py:360-383 smooths every pool with +1;
+                # the delete_en bytecode keeps +1 for bu but uses +1e-16
+                # for cup/disc on both domains (pyc_disasm, :388/:395 and
+                # the y-side pools) — gated here on the same switch that
+                # selects the delete_en ablation.
+                fg_eps = 1.0 if mcfg.bank_use_bu else 1e-16
                 pred_s = resize_bilinear_align_corners(map_s, feat_hw)
                 bu_s = resize_bilinear_align_corners(boundary_s, feat_hw)
                 xs_bu = out_s.x_bu_feature.astype(jnp.float32)
                 xs_f = out_s.x_feature.astype(jnp.float32)
                 proto_x_bu = P.masked_pool_mean(xs_bu, bu_s)
-                proto_x_cup = P.masked_pool_mean(xs_f, pred_s[..., 0:1])
-                proto_x_disc = P.masked_pool_mean(xs_f, pred_s[..., 1:2])
+                proto_x_cup = P.masked_pool_mean(xs_f, pred_s[..., 0:1], fg_eps)
+                proto_x_disc = P.masked_pool_mean(xs_f, pred_s[..., 1:2], fg_eps)
 
                 thr = P.adaptation_factor(epoch)
-                bu_rect = (
-                    jax.nn.sigmoid(out_t.boundary_before.astype(jnp.float32)) > thr
-                ).astype(jnp.float32)
-                pred_t = jax.nn.sigmoid(out_t.mask_before.astype(jnp.float32))
-                cup_rect = (pred_t[..., 0:1] > thr).astype(jnp.float32)
-                disc_rect = (pred_t[..., 1:2] > thr).astype(jnp.float32)
-                xt_bu = out_t.x_bu_feature.astype(jnp.float32)
+                if mcfg.pseudo_from_initial:
+                    # Trainer_prototype_woTN :309-311/:373-377: target
+                    # pseudo-labels from the FROZEN initial-resume model's
+                    # 'before' heads, detached. We run it in eval mode so
+                    # the frozen model's running stats cannot drift
+                    # (deliberate; the bytecode leaves the torch module in
+                    # whatever mode it was last set).
+                    init_outs, _ = _gen_apply(
+                        model, state.initial_params, state.initial_stats,
+                        image_t, k_fwd, False, 1, mutable=False,
+                    )
+                    pred_t = jax.nn.sigmoid(
+                        jax.lax.stop_gradient(init_outs.mask_before.astype(jnp.float32))
+                    )
+                    bu_soft = jax.nn.sigmoid(
+                        jax.lax.stop_gradient(init_outs.boundary_before.astype(jnp.float32))
+                    )
+                else:
+                    pred_t = jax.nn.sigmoid(out_t.mask_before.astype(jnp.float32))
+                    bu_soft = jax.nn.sigmoid(out_t.boundary_before.astype(jnp.float32))
                 xt_f = out_t.x_feature.astype(jnp.float32)
-                proto_y_bu = P.masked_pool_mean(xt_bu, bu_rect)
-                proto_y_cup = P.masked_pool_mean(xt_f, cup_rect)
-                proto_y_disc = P.masked_pool_mean(xt_f, disc_rect)
+                cup_soft, disc_soft = pred_t[..., 0:1], pred_t[..., 1:2]
+                if mcfg.use_weight_rectify:
+                    # woTN :381-382/:399/:423: soft maps scaled by the
+                    # min-max-normalized L2 distance to the BANK vector
+                    # before thresholding.
+                    cup_soft = cup_soft * P.minmax_prototype_weight(
+                        P.feat_prototype_distance(xt_f, state.proto_bank["cup"])
+                    )
+                    disc_soft = disc_soft * P.minmax_prototype_weight(
+                        P.feat_prototype_distance(xt_f, state.proto_bank["disc"])
+                    )
+                cup_rect = (cup_soft > thr).astype(jnp.float32)
+                disc_rect = (disc_soft > thr).astype(jnp.float32)
+                proto_y_cup = P.masked_pool_mean(xt_f, cup_rect, fg_eps)
+                proto_y_disc = P.masked_pool_mean(xt_f, disc_rect, fg_eps)
+                if mcfg.bank_use_bu:
+                    xt_bu = out_t.x_bu_feature.astype(jnp.float32)
+                    if mcfg.use_weight_rectify:
+                        bu_soft = bu_soft * P.minmax_prototype_weight(
+                            P.feat_prototype_distance(xt_bu, state.proto_bank["bu"])
+                        )
+                    bu_rect = (bu_soft > thr).astype(jnp.float32)
+                    proto_y_bu = P.masked_pool_mean(xt_bu, bu_rect)
+                else:
+                    # delete_en never pools a target bu prototype (no
+                    # proj_*_y_bu locals in its bytecode), so its bu bank
+                    # vector never EMAs.
+                    proto_y_bu = None
 
                 dis_cup = jnp.mean(jnp.square(proto_x_cup - proto_y_cup))
                 dis_disc = jnp.mean(jnp.square(proto_x_disc - proto_y_disc))
@@ -767,39 +844,69 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
                     ("bu", proto_y_bu), ("cup", proto_y_cup), ("disc", proto_y_disc)
                 ):
                     bank_v = state.proto_bank[key]
+                    if cur is None:
+                        new_bank[key] = bank_v
+                        continue
                     upd = (1.0 - mom) * bank_v + mom * jax.lax.stop_gradient(cur)
                     new_bank[key] = jnp.where(jnp.sum(cur) != 0.0, upd, bank_v)
                 aux["new_bank"] = new_bank
 
             if use_mt_losses and mcfg.use_trg_cons:
-                # augmented-consistency on target (bytecode-only
-                # Trainer_prototype_mt; rebuilt from utils/Utils.py:33-85
-                # helpers + paper semantics). Color-space strong aug runs
-                # ON DEVICE inside the step (vs the reference's host
-                # albumentations round-trip).
+                # Augmented-consistency on target. Instruction-verified
+                # against Trainer_prototype_mt.cpython-38.pyc train_epoch
+                # offsets 2556-2966 (source :498-568, tools/pyc_disasm.py):
+                #  - pseudo-labels: sigmoid(oT).detach() binarized at the
+                #    RAMPED threshold (0.85 + 0.25*sigmoid_rampup(epoch,200))
+                #    * ln(2)  [both target_name branches compute the same
+                #    formula — the Drishti-GS if/else is dead];
+                #  - per-pixel weights: the MC-dropout std<0.04 confidence
+                #    masks mask_0/mask_1 returned by gen_prototype_retrify,
+                #    nearest-upsampled to the loss res (their {0,2} scaling
+                #    cancels in the normalized sum below) — so use_trg_cons
+                #    REQUIRES retrify (the reference NameErrors otherwise;
+                #    we raise at build time, see make_train_step);
+                #  - the logged value includes aug_weight (:561);
+                #  - the labels ride through the augmenter, but the aug
+                #    family is color-only, so they come back unchanged —
+                #    our on-device strong_augment transforms the image only.
+                # THE COMPILED REFERENCE NEVER BACKWARDS THIS LOSS: the
+                # bytecode's only backwards are loss_all and the two D
+                # losses; loss_aug is computed after loss_all.backward()
+                # and before optim_gen.step(), logged, and discarded.
+                # aug_backward=True opts into the paper's stated semantics
+                # (add aug_weight*loss_aug to the G objective).
+                ramp = jnp.exp(
+                    -5.0 * jnp.square(1.0 - jnp.clip(epoch, 0.0, 200.0) / 200.0)
+                )
+                thr = (0.85 + 0.25 * ramp) * math.log(2.0)
                 p_plain = jax.nn.sigmoid(jax.lax.stop_gradient(out_t.mask_logits.astype(jnp.float32)))
-                pseudo = (p_plain > mcfg.pseudo_threshold).astype(jnp.float32)
-                conf = jnp.logical_or(
-                    p_plain > mcfg.pseudo_threshold, p_plain < 1.0 - mcfg.pseudo_threshold
-                ).astype(jnp.float32)
+                pseudo = (p_plain > thr).astype(jnp.float32)
+                conf = resize_nearest(
+                    jax.lax.stop_gradient(rect.conf_mask),
+                    (image_t.shape[1], image_t.shape[2]),
+                )
                 x_aug = strong_augment(k_aug, image_t.astype(jnp.float32)).astype(compute_dtype)
                 outs_aug, _ = _gen_apply(
                     model, gen_params, state.gen_stats, x_aug, k_augfwd, True, 1, mutable=False
                 )
                 o_aug = outs_aug.mask_logits.astype(jnp.float32)
+                if not mcfg.aug_backward:
+                    o_aug = jax.lax.stop_gradient(o_aug)
                 per_px = L.bce_sigmoid_stable_elementwise(o_aug, pseudo)
-                loss_aug = jnp.sum(per_px * conf) / (jnp.sum(conf) + 1e-7)
-                loss = loss + mcfg.aug_weight * loss_aug
+                loss_aug = mcfg.aug_weight * jnp.sum(per_px * conf) / jnp.sum(conf)
+                if mcfg.aug_backward:
+                    loss = loss + loss_aug
                 m["loss_aug"] = loss_aug
 
             if use_teacher:
+                # Instruction-verified (Trainer_MT.cpython-38.pyc :339 via
+                # tools/pyc_disasm.py): consistency = nn.MSELoss()(
+                # sig(oT_student), sig(oT_teacher)) — MASK head only, no
+                # boundary term (aug_loss built at :239).
                 w = batch.get("consistency_weight", jnp.asarray(mcfg.consistency))
                 cons = L.mse(
                     jax.nn.sigmoid(out_t.mask_logits.astype(jnp.float32)),
                     jax.nn.sigmoid(teacher_out.mask_logits.astype(jnp.float32)),
-                ) + L.mse(
-                    jax.nn.sigmoid(out_t.boundary_logits.astype(jnp.float32)),
-                    jax.nn.sigmoid(teacher_out.boundary_logits.astype(jnp.float32)),
                 )
                 loss = loss + w * cons
                 m["loss_consistency"] = cons
@@ -876,8 +983,20 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
         # ---- teacher EMA (after student step, Trainer_MT semantics) ----
         teacher_params, teacher_stats = state.teacher_params, state.teacher_stats
         if use_teacher:
+            # update_ema_variables (Trainer_MT.py:30-34, instruction-
+            # verified): alpha = min(1 - 1/(global_step+1), 0.99) — the
+            # early-training ramp makes the teacher track the student
+            # closely at first. The reference EMAs .parameters() only, so
+            # its teacher's BN buffers stay frozen at their init values; we
+            # deliberately track the student's running stats instead (the
+            # canonical mean-teacher recipe — the teacher forward here runs
+            # in eval mode and would otherwise normalize with stale stats).
+            alpha = jnp.minimum(
+                1.0 - 1.0 / (state.step.astype(jnp.float32) + 1.0),
+                mcfg.ema_decay,
+            )
             teacher_params = optim_lib.weight_ema(
-                state.teacher_params, gen_params, mcfg.ema_decay
+                state.teacher_params, gen_params, alpha
             )
             teacher_stats = aux["stats"]
 

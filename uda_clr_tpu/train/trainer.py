@@ -130,6 +130,17 @@ class Trainer:
 
         if cfg.run.initial_resume:
             self._initial_resume(cfg.run.initial_resume)
+        if cfg.method.pseudo_from_initial:
+            # Freeze the post-initial-resume generator as the pseudo-label
+            # model (Trainer_prototype_woTN's model_geninitial_pesudolabel,
+            # built from --initial_resume in train_use_fix_initial.py:184-199).
+            # jnp.copy, not an alias: the jitted step donates the state, and
+            # donating the same underlying buffer twice (gen_* and initial_*)
+            # is an XLA runtime error.
+            self.state = self.state.replace(
+                initial_params=jax.tree.map(jnp.copy, self.state.gen_params),
+                initial_stats=jax.tree.map(jnp.copy, self.state.gen_stats),
+            )
         if cfg.run.resume:
             self._resume(cfg.run.resume)
 
