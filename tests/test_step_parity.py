@@ -82,6 +82,14 @@ def dropout_off():
         # logit noise flips near-threshold pixels outright and the comparison
         # degenerates into flip-chaos; the soft-mask path stays deterministic.
         ("prototype_full", False, True, "resnet"),
+        # The bytecode-only Trainer_prototype_mt reconstruction: everything
+        # prototype_full does PLUS loss_src_reg in the G objective (the
+        # grad-carrying hinge on the EMA centroids). use_trg_cons stays off
+        # here: loss_aug is log-only in the compiled reference (never
+        # backwarded) and its augmented forward is RNG-driven — the
+        # trajectory-relevant semantics are exactly what this parametrization
+        # pins. loss_aug itself is covered by golden + numpy-oracle tests.
+        ("prototype_mt", True, True, "mobilenet"),
     ],
 )
 def test_train_step_parity(dropout_off, method, retrify, mc_fast, backbone):
@@ -133,6 +141,9 @@ def test_train_step_parity(dropout_off, method, retrify, mc_fast, backbone):
     cfg.method.mc_samples = T
     cfg.method.mc_fast = mc_fast
     cfg.method.rng_impl = "threefry2x32"  # rbg keys unsupported on CPU tests
+    proto = method in ("prototype_full", "prototype_mt")
+    if method == "prototype_mt":
+        cfg.method.use_trg_cons = False  # see the parametrize comment
 
     model = DeepLab(num_classes=2, backbone=backbone, output_stride=16, norm="bn")
     state = create_train_state(model, jax.random.PRNGKey(0), (B, SIZE, SIZE, 3))
@@ -143,7 +154,7 @@ def test_train_step_parity(dropout_off, method, retrify, mc_fast, backbone):
         dis2_params=jax.tree.map(jnp.asarray, dis2_params),
     )
 
-    step = make_train_step(model, cfg, method, proto_phase=(method == "prototype_full"))
+    step = make_train_step(model, cfg, method, proto_phase=proto)
     bank = TorchBank()
     rng = np.random.default_rng(7)
 
@@ -160,7 +171,8 @@ def test_train_step_parity(dropout_off, method, retrify, mc_fast, backbone):
         want = prototype_full_iteration(
             tm, tdis, tdis2, opt_gen, opt_dis, opt_dis2, bank,
             _to_nchw(img_s), _to_nchw(map_s), _to_nchw(bnd_s), _to_nchw(img_t),
-            use_pid=(method == "prototype_full"), retrify=retrify, T=T,
+            use_pid=proto, retrify=retrify, T=T,
+            src_reg_weight=(cfg.method.src_reg_weight if method == "prototype_mt" else None),
         )
 
         # fp32 accumulation across ~60 BN layers drifts the deep losses by
@@ -179,7 +191,7 @@ def test_train_step_parity(dropout_off, method, retrify, mc_fast, backbone):
                     float(metrics[key]), want[key], rtol=tol,
                     err_msg=f"iter {it}: {key}",
                 )
-        if method == "prototype_full":
+        if proto:
             np.testing.assert_allclose(
                 float(metrics["loss_intra"]), want["loss_intra"],
                 rtol=tol * 20, atol=1e-5, err_msg=f"iter {it}: loss_intra",
@@ -188,6 +200,11 @@ def test_train_step_parity(dropout_off, method, retrify, mc_fast, backbone):
                 float(metrics["loss_inter"]), want["loss_inter"],
                 rtol=tol * 20, atol=1e-5, err_msg=f"iter {it}: loss_inter",
             )
+            if "loss_src_reg" in want:
+                np.testing.assert_allclose(
+                    float(metrics["loss_src_reg"]), want["loss_src_reg"],
+                    rtol=tol * 20, atol=1e-5, err_msg=f"iter {it}: loss_src_reg",
+                )
             # the EMA prototype banks (written back into TrainState);
             # iter 1's bank pools features of the once-updated params, so
             # it inherits the Adam-noise floor like the iter-1 losses
@@ -241,3 +258,220 @@ def test_train_step_parity(dropout_off, method, retrify, mc_fast, backbone):
     want_stem = t_sd[t_stem].numpy().transpose(2, 3, 1, 0)
     scale = max(np.abs(want_stem).max(), 1e-6)
     np.testing.assert_allclose(got_stem / scale, want_stem / scale, atol=5e-3)
+
+
+def test_mean_teacher_step_parity(dropout_off):
+    """Two fused mean_teacher iterations vs the torch transcription of the
+    bytecode-only Trainer_MT (tests/torch_step_ref.py:mean_teacher_iteration;
+    instruction-verified semantics). Covers: teacher eval forward feeding
+    the mask-head-only consistency term, the full adversarial branch, the
+    G/D update order, and the ramped-alpha parameter EMA + tracked stats."""
+    import copy
+
+    from tests.torch_step_ref import mean_teacher_iteration
+
+    torch.manual_seed(0)
+    tm = TorchDeepLab(num_classes=2, output_stride=16, backbone="mobilenet")
+    tm.train()
+    _zero_torch_dropout(tm)
+    tteacher = copy.deepcopy(tm)
+    tdis = TorchPatchDiscriminator(1)
+    tdis2 = TorchPatchDiscriminator(2)
+    tdis.train(), tdis2.train()
+
+    lr_gen = 1e-4  # same Adam sign-noise rationale as the main parity test
+    opt_gen = torch.optim.Adam(tm.parameters(), lr=lr_gen, betas=(0.9, 0.99))
+    opt_dis = torch.optim.SGD(tdis.parameters(), lr=2.5e-5, momentum=0.99, weight_decay=5e-4)
+    opt_dis2 = torch.optim.SGD(tdis2.parameters(), lr=2.5e-5, momentum=0.99, weight_decay=5e-4)
+
+    sd = {k: v.numpy() for k, v in tm.state_dict().items() if "num_batches_tracked" not in k}
+    gen_params, gen_stats = convert_deeplab_state_dict(sd, output_stride=16)
+    dis_params = convert_discriminator_state_dict(
+        {k: v.numpy() for k, v in tdis.state_dict().items()}
+    )
+    dis2_params = convert_discriminator_state_dict(
+        {k: v.numpy() for k, v in tdis2.state_dict().items()}
+    )
+
+    cfg = Config()
+    cfg.model.compute_dtype = "float32"
+    cfg.method.method = "mean_teacher"
+    cfg.method.teacher_noise = 0.0  # deterministic teacher input
+    cfg.method.rng_impl = "threefry2x32"
+    w_cons = cfg.method.consistency
+
+    model = DeepLab(num_classes=2, backbone="mobilenet", output_stride=16, norm="bn")
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (B, SIZE, SIZE, 3), with_teacher=True
+    )
+    gp = jax.tree.map(jnp.asarray, gen_params)
+    gs = jax.tree.map(jnp.asarray, gen_stats)
+    state = state.replace(
+        gen_params=gp, gen_stats=gs,
+        teacher_params=jax.tree.map(jnp.copy, gp),
+        teacher_stats=jax.tree.map(jnp.copy, gs),
+        dis_params=jax.tree.map(jnp.asarray, dis_params),
+        dis2_params=jax.tree.map(jnp.asarray, dis2_params),
+    )
+
+    step = make_train_step(model, cfg, "mean_teacher", proto_phase=False)
+    rng = np.random.default_rng(7)
+
+    for it in range(2):
+        img_s, map_s, bnd_s, img_t = _make_batch(rng)
+        batch = {
+            "image_s": jnp.asarray(img_s),
+            "map_s": jnp.asarray(map_s),
+            "boundary_s": jnp.asarray(bnd_s),
+            "image_t": jnp.asarray(img_t),
+            "consistency_weight": jnp.float32(w_cons),
+        }
+        state, metrics = step(state, batch, lr_gen, 2.5e-5, 30)
+        want = mean_teacher_iteration(
+            tm, tteacher, tdis, tdis2, opt_gen, opt_dis, opt_dis2,
+            _to_nchw(img_s), _to_nchw(map_s), _to_nchw(bnd_s), _to_nchw(img_t),
+            global_step=it, consistency_weight=w_cons,
+            ema_decay=cfg.method.ema_decay,
+        )
+        tol = 5e-4 if it == 0 else 5e-3
+        for key in ("loss_seg", "loss_adv", "loss_all", "loss_D", "loss_D2"):
+            np.testing.assert_allclose(
+                float(metrics[key]), want[key], rtol=tol,
+                err_msg=f"iter {it}: {key}",
+            )
+        # the consistency term is tiny on iteration 0 (teacher == student
+        # at init, both forwards still differ by train-vs-eval BN) — an
+        # absolute floor keeps fp32 noise from dominating the rel check
+        np.testing.assert_allclose(
+            float(metrics["loss_consistency"]), want["loss_consistency"],
+            rtol=tol * 4, atol=1e-6, err_msg=f"iter {it}: loss_consistency",
+        )
+
+    # ---- post-update teacher params: alpha ramp min(1-1/(t+1), 0.99)
+    # means teacher(0)=student(0), teacher(1)=0.5*(student(0)+student(1)) ----
+    t_sd = tteacher.state_dict()
+    got = np.asarray(state.teacher_params["backbone"]["stem"]["conv"]["kernel"])
+    want_w = t_sd["backbone.features.0.0.weight"].numpy().transpose(2, 3, 1, 0)
+    scale = max(np.abs(want_w).max(), 1e-6)
+    np.testing.assert_allclose(got / scale, want_w / scale, atol=5e-3)
+    # teacher stats track the student's (the framework's documented choice)
+    np.testing.assert_allclose(
+        np.asarray(state.teacher_stats["backbone"]["stem_bn"]["mean"]),
+        t_sd["backbone.features.0.1.running_mean"].numpy(),
+        rtol=1e-3, atol=1e-5,
+    )
+
+
+def test_bcdm_step_parity(dropout_off):
+    """Two fused bcdm iterations vs the torch transcription of the
+    bytecode-only Trainer_bcdm (tests/torch_step_ref.py:bcdm_iteration).
+    Covers the 3-phase choreography: tempered phase-A seg on both
+    classifiers (one backward, both Adam steps), the phase-B dead source
+    forward's BN side effects + classifier-only 0.01*cdd_before step, and
+    phase C's 4 inner feature-extractor iterations — plus the resulting
+    Adam/BN-stat state on all three param groups."""
+    from tests.torch_step_ref import bcdm_iteration
+
+    torch.manual_seed(0)
+    tm1 = TorchDeepLab(num_classes=2, output_stride=16, backbone="mobilenet")
+    tm2 = TorchDeepLab(num_classes=2, output_stride=16, backbone="mobilenet")
+    tm1.train(), tm2.train()
+    _zero_torch_dropout(tm1), _zero_torch_dropout(tm2)
+
+    # One decade below the other mobilenet parity cases: unlike them, bcdm's
+    # iter-0 cdd scalars are computed AFTER a same-iteration Adam step
+    # (phase A), so even iteration 0 sits on the post-update sign-noise
+    # floor; the smaller lr shrinks that floor back under the tolerances.
+    lr_gen = 1e-5
+    opt_fea = torch.optim.Adam(tm1.backbone.parameters(), lr=lr_gen, betas=(0.9, 0.99))
+    opt_cls = torch.optim.Adam(
+        list(tm1.aspp.parameters()) + list(tm1.decoder.parameters())
+        + list(tm2.aspp.parameters()) + list(tm2.decoder.parameters()),
+        lr=lr_gen, betas=(0.9, 0.99),
+    )
+
+    sd1 = {k: v.numpy() for k, v in tm1.state_dict().items() if "num_batches_tracked" not in k}
+    gen_params, gen_stats = convert_deeplab_state_dict(sd1, output_stride=16)
+    sd2 = {k: v.numpy() for k, v in tm2.state_dict().items() if "num_batches_tracked" not in k}
+    p2, s2 = convert_deeplab_state_dict(sd2, output_stride=16)
+
+    cfg = Config()
+    cfg.model.compute_dtype = "float32"
+    cfg.method.method = "bcdm"
+    cfg.method.rng_impl = "threefry2x32"
+
+    model = DeepLab(num_classes=2, backbone="mobilenet", output_stride=16, norm="bn")
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (B, SIZE, SIZE, 3), with_cls2=True
+    )
+    state = state.replace(
+        gen_params=jax.tree.map(jnp.asarray, gen_params),
+        gen_stats=jax.tree.map(jnp.asarray, gen_stats),
+        cls2_params={k: jax.tree.map(jnp.asarray, p2[k]) for k in ("aspp", "decoder")},
+        cls2_stats={k: jax.tree.map(jnp.asarray, s2[k]) for k in ("aspp", "decoder")},
+    )
+
+    step = make_train_step(model, cfg, "bcdm", proto_phase=False)
+    rng = np.random.default_rng(7)
+
+    for it in range(2):
+        img_s, map_s, bnd_s, img_t = _make_batch(rng)
+        batch = {
+            "image_s": jnp.asarray(img_s),
+            "map_s": jnp.asarray(map_s),
+            "boundary_s": jnp.asarray(bnd_s),
+            "image_t": jnp.asarray(img_t),
+        }
+        state, metrics = step(state, batch, lr_gen, 2.5e-5, 30)
+        want = bcdm_iteration(
+            tm1, tm2, opt_fea, opt_cls,
+            _to_nchw(img_s), _to_nchw(map_s), _to_nchw(bnd_s), _to_nchw(img_t),
+        )
+        # loss_seg is the only pre-update scalar; cdd_before sits after the
+        # phase-A Adam step and cdd_after after SIX same-iteration updates
+        # plus an 8-forward chain, so their iter-0 noise floor is the
+        # post-update one (measured 0.18% at lr=1e-5), not the pre-update
+        # 5e-4 the other methods enjoy.
+        # (iter 1's cdd floor is higher still: cdd subtracts two SIBLING
+        # classifier outputs, so it carries both classifiers' accumulated
+        # drift after 12 cumulative optimizer updates — measured 1.9%.
+        # Structural errors (missing temperature, wrong sign, wrong phase
+        # order) move these scalars 10-100x further.)
+        tol_seg = 1e-3 if it == 0 else 8e-3
+        tol_cdd = 4e-3 if it == 0 else 3e-2
+        for key, tol in (
+            ("loss_seg", tol_seg),
+            ("loss_cdd_before", tol_cdd),
+            ("loss_cdd_after", tol_cdd),
+        ):
+            np.testing.assert_allclose(
+                float(metrics[key]), want[key], rtol=tol,
+                err_msg=f"iter {it}: {key}",
+            )
+
+    # ---- post-update params: F (Adam x10: 2x(A + 4xC)), C2 (Adam x4) ----
+    t_sd1, t_sd2 = tm1.state_dict(), tm2.state_dict()
+    got_stem = np.asarray(state.gen_params["backbone"]["stem"]["conv"]["kernel"])
+    want_stem = t_sd1["backbone.features.0.0.weight"].numpy().transpose(2, 3, 1, 0)
+    scale = max(np.abs(want_stem).max(), 1e-6)
+    np.testing.assert_allclose(got_stem / scale, want_stem / scale, atol=5e-3)
+
+    got_c2 = np.asarray(state.cls2_params["aspp"]["aspp1"]["atrous_conv"]["conv"]["kernel"])
+    want_c2 = t_sd2["aspp.aspp1.atrous_conv.weight"].numpy().transpose(2, 3, 1, 0)
+    scale = max(np.abs(want_c2).max(), 1e-6)
+    np.testing.assert_allclose(got_c2 / scale, want_c2 / scale, atol=5e-3)
+
+    # ---- BN running stats saw every phase's forwards (incl. the dead
+    # phase-B source forward) in the same order ----
+    np.testing.assert_allclose(
+        np.asarray(state.gen_stats["backbone"]["stem_bn"]["mean"]),
+        t_sd1["backbone.features.0.1.running_mean"].numpy(),
+        rtol=1e-3, atol=1e-5,
+    )
+    # low_bn's input is a zero-mean random conv output, so its running MEAN
+    # is ~1e-5 noise on both sides — the running VAR is the meaningful pin
+    np.testing.assert_allclose(
+        np.asarray(state.cls2_stats["decoder"]["low_bn"]["var"]),
+        t_sd2["decoder.bn1.running_var"].numpy(),
+        rtol=1e-3, atol=1e-6,
+    )

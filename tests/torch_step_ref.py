@@ -119,6 +119,7 @@ def prototype_full_iteration(
     pro_weight: float = 0.1,
     global_pro_weight: float = 0.9,
     adv_weight: float = 0.01,
+    src_reg_weight: float | None = None,
 ):
     """One reference iteration past warmup (epoch > warmup_epoch). Returns
     the scalar losses the JAX step reports in its metrics dict."""
@@ -194,6 +195,24 @@ def prototype_full_iteration(
         out["loss_intra"] = intra_loss.item()
         out["loss_inter"] = inter_loss.item()
 
+        if src_reg_weight is not None:
+            # Trainer_prototype_mt loss_src_reg (instruction-verified,
+            # pyc_disasm train_epoch :438-476): channel-mean squared
+            # Euclidean distances to the GRAD-CARRYING EMA centroids,
+            # margin-0.01 hinge, soft-GT-weighted plain mean. src order:
+            # [cup_obj, disc_obj, cup_bck, disc_bck].
+            def chan_dist(c):
+                return ((xs_feature - c.reshape(1, -1, 1, 1)) ** 2).mean(dim=1)
+
+            cup, disc = pred_oS[:, 0], pred_oS[:, 1]
+            src_reg = (
+                (cup * F.relu(chan_dist(src[0]) - chan_dist(src[2]) + 0.01)).mean()
+                + ((1 - cup) * F.relu(chan_dist(src[2]) - chan_dist(src[0]) + 0.01)).mean()
+                + (disc * F.relu(chan_dist(src[1]) - chan_dist(src[3]) + 0.01)).mean()
+                + ((1 - disc) * F.relu(chan_dist(src[3]) - chan_dist(src[1]) + 0.01)).mean()
+            )
+            out["loss_src_reg"] = src_reg.item()
+
     # adversarial generator term (reference :452-458)
     unc_T = -1.0 * torch.sigmoid(oT) * torch.log(torch.sigmoid(oT) + smooth)
     D_out2 = dis(torch.sigmoid(boundaryT))
@@ -207,6 +226,8 @@ def prototype_full_iteration(
     loss_all = loss_seg + loss_adv
     if use_pid:
         loss_all = loss_all + pro_weight * intra_loss
+        if src_reg_weight is not None:
+            loss_all = loss_all + src_reg_weight * src_reg
     out["loss_all"] = loss_all.item()
     loss_all.backward()
     opt_gen.step()
@@ -245,3 +266,219 @@ def prototype_full_iteration(
     out["loss_D"] = (loss_D_same2 + loss_D_diff2).item()
     out["loss_D2"] = (loss_D_same1 + loss_D_diff1).item()
     return out
+
+
+def _discriminator_updates(dis, dis2, opt_dis, opt_dis2, oS, boundaryS, oT, boundaryT):
+    """The reference's post-G discriminator choreography (shared by every
+    adversarial trainer, e.g. Trainer_prototype_full.py:471-517 and the
+    instruction-identical blocks in the Trainer_MT bytecode): D on detached
+    SOURCE outputs toward label 1, then on detached TARGET outputs toward
+    label 0, then both SGD steps. Returns (loss_D, loss_D2) as the JAX step
+    reports them (each D's combined same+diff loss)."""
+    smooth = 1e-7
+    for p in dis.parameters():
+        p.requires_grad = True
+    for p in dis2.parameters():
+        p.requires_grad = True
+
+    boundaryS_d, oS_d = boundaryS.detach(), oS.detach()
+    unc_S = -1.0 * torch.sigmoid(oS_d) * torch.log(torch.sigmoid(oS_d) + smooth)
+    D_out2 = dis(torch.sigmoid(boundaryS_d))
+    D_out1 = dis2(unc_S)
+    loss_D_same1 = F.binary_cross_entropy_with_logits(D_out1, torch.ones_like(D_out1))
+    loss_D_same2 = F.binary_cross_entropy_with_logits(D_out2, torch.ones_like(D_out2))
+    (loss_D_same1 + loss_D_same2).backward()
+
+    boundaryT_d, oT_d = boundaryT.detach(), oT.detach()
+    unc_T = -1.0 * torch.sigmoid(oT_d) * torch.log(torch.sigmoid(oT_d) + smooth)
+    D_out2 = dis(torch.sigmoid(boundaryT_d))
+    D_out1 = dis2(unc_T)
+    loss_D_diff1 = F.binary_cross_entropy_with_logits(D_out1, torch.zeros_like(D_out1))
+    loss_D_diff2 = F.binary_cross_entropy_with_logits(D_out2, torch.zeros_like(D_out2))
+    (loss_D_diff1 + loss_D_diff2).backward()
+
+    opt_dis.step()
+    opt_dis2.step()
+    return (loss_D_same2 + loss_D_diff2).item(), (loss_D_same1 + loss_D_diff1).item()
+
+
+def mean_teacher_iteration(
+    gen: nn.Module,
+    teacher: nn.Module,
+    dis: nn.Module,
+    dis2: nn.Module,
+    opt_gen,
+    opt_dis,
+    opt_dis2,
+    image_s,
+    map_s,
+    boundary_s,
+    image_t,
+    *,
+    global_step: int,
+    consistency_weight: float,
+    ema_decay: float = 0.99,
+    adv_weight: float = 0.01,
+):
+    """One Trainer_MT iteration (bytecode-only; instruction-verified via
+    tools/pyc_disasm.py — objective at :356, consistency at :239/:339, EMA
+    at :30-34). Teacher noise is OFF (the framework's teacher_noise=0
+    configuration) so the step is deterministic.
+
+    Reproduces the framework's ONE documented deviation: the teacher's BN
+    buffers are copied from the student after each step (the reference EMAs
+    ``.parameters()`` only, freezing its teacher buffers at init —
+    steps.py:983-1001 documents why we deviate); everything else follows
+    the bytecode: student T-then-S forwards, loss_seg + 0.01*(adv1+adv2) +
+    w*MSE(sig(oT_student), sig(oT_teacher)) [mask head only], G Adam step,
+    then the standard D same/diff updates, then
+    alpha = min(1 - 1/(global_step+1), ema_decay) parameter EMA."""
+    bceloss = nn.BCELoss()
+    mseloss = nn.MSELoss()
+    smooth = 1e-7
+
+    gen.train(), dis.train(), dis2.train()
+    opt_gen.zero_grad(), opt_dis.zero_grad(), opt_dis2.zero_grad()
+    for p in dis.parameters():
+        p.requires_grad = False
+    for p in dis2.parameters():
+        p.requires_grad = False
+    for p in gen.parameters():
+        p.requires_grad = True
+
+    teacher.eval()
+    with torch.no_grad():
+        oT_teacher, *_ = teacher(image_t)
+
+    # student: target first, then source (the fused domains=2 forward's
+    # per-half BN == the reference's separate forwards, T-then-S stats)
+    oT, boundaryT, *_ = gen(image_t)
+    oS, boundaryS, *_ = gen(image_s)
+
+    loss_seg = bceloss(torch.sigmoid(oS), map_s) + mseloss(
+        torch.sigmoid(boundaryS), boundary_s
+    )
+    unc_T = -1.0 * torch.sigmoid(oT) * torch.log(torch.sigmoid(oT) + smooth)
+    D_out1 = dis2(unc_T)
+    D_out2 = dis(torch.sigmoid(boundaryT))
+    loss_adv = adv_weight * (
+        F.binary_cross_entropy_with_logits(D_out1, torch.ones_like(D_out1))
+        + F.binary_cross_entropy_with_logits(D_out2, torch.ones_like(D_out2))
+    )
+    cons = mseloss(torch.sigmoid(oT), torch.sigmoid(oT_teacher))
+    loss_all = loss_seg + loss_adv + consistency_weight * cons
+    out = {
+        "loss_seg": loss_seg.item(),
+        "loss_adv": loss_adv.item(),
+        "loss_consistency": cons.item(),
+        "loss_all": loss_all.item(),
+    }
+    loss_all.backward()
+    opt_gen.step()
+
+    for p in gen.parameters():
+        p.requires_grad = False
+    out["loss_D"], out["loss_D2"] = _discriminator_updates(
+        dis, dis2, opt_dis, opt_dis2, oS, boundaryS, oT, boundaryT
+    )
+    for p in gen.parameters():
+        p.requires_grad = True
+
+    # teacher EMA of the UPDATED student params (steps.py:994-1000)
+    alpha = min(1.0 - 1.0 / (global_step + 1.0), ema_decay)
+    with torch.no_grad():
+        for tp, sp in zip(teacher.parameters(), gen.parameters()):
+            tp.mul_(alpha).add_(sp, alpha=1.0 - alpha)
+        # framework deviation: teacher tracks the student's running stats
+        for tb, sb in zip(teacher.buffers(), gen.buffers()):
+            tb.copy_(sb)
+    return out
+
+
+def bcdm_iteration(
+    tm1: nn.Module,
+    tm2: nn.Module,
+    opt_fea,
+    opt_cls,
+    image_s,
+    map_s,
+    boundary_s,
+    image_t,
+    *,
+    temperature: float = 1.8,
+    cdd_weight: float = 0.01,
+    inner_fea_steps: int = 4,
+):
+    """One Trainer_bcdm iteration (bytecode-only; instruction-verified via
+    tools/pyc_disasm.py, train_epoch :202-372). F = tm1.backbone;
+    C1 = tm1.aspp+decoder; C2 = tm2.aspp+decoder (tm2.backbone unused —
+    exclude it from the optimizers). opt_fea over F, opt_cls over C1+C2
+    jointly, mirroring the bytecode's two Adams.
+
+      A (:224-287): source forward through F and both classifiers; mask
+        logits tempered by 1.8 (boundary MSE untempered); one backward;
+        BOTH optimizer steps.
+      B (:290-316): fresh source forward whose loss is dead (kept for its
+        train-mode BN running-stat updates); target forward;
+        0.01*discrepancy(mask logits) backward; opt_cls.step() ONLY
+        (positive sign — as compiled, B *minimizes* the discrepancy).
+      C (:318-330): 4 x {fresh target forward; 0.01*discrepancy backward;
+        opt_fea.step()}.
+    """
+    bceloss = nn.BCELoss()
+    mseloss = nn.MSELoss()
+    out_hw = image_s.shape[2:]
+
+    def cls_fwd(m, high, low):
+        feat = m.aspp(high)
+        x1, boundary, _, _ = m.decoder(feat, low)
+        up = lambda t: F.interpolate(t, size=out_hw, mode="bilinear", align_corners=True)
+        return up(x1), up(boundary)
+
+    def discrepancy(v1, v2):
+        return torch.mean(torch.abs(torch.sigmoid(v1) - torch.sigmoid(v2)))
+
+    tm1.train(), tm2.train()
+
+    # ---- A ----
+    opt_fea.zero_grad(), opt_cls.zero_grad()
+    high, low = tm1.backbone(image_s)
+    o1, b1 = cls_fwd(tm1, high, low)
+    o2, b2 = cls_fwd(tm2, high, low)
+    loss_seg = (
+        bceloss(torch.sigmoid(o1 / temperature), map_s)
+        + mseloss(torch.sigmoid(b1), boundary_s)
+        + bceloss(torch.sigmoid(o2 / temperature), map_s)
+        + mseloss(torch.sigmoid(b2), boundary_s)
+    )
+    loss_seg.backward()
+    opt_fea.step()
+    opt_cls.step()
+
+    # ---- B ----
+    opt_fea.zero_grad(), opt_cls.zero_grad()
+    high, low = tm1.backbone(image_s)  # dead forward: BN-stat side effects only
+    cls_fwd(tm1, high, low)
+    cls_fwd(tm2, high, low)
+    high, low = tm1.backbone(image_t)
+    o1t, _ = cls_fwd(tm1, high, low)
+    o2t, _ = cls_fwd(tm2, high, low)
+    cdd_before = discrepancy(o1t, o2t)
+    (cdd_weight * cdd_before).backward()
+    opt_cls.step()
+
+    # ---- C ----
+    for _ in range(inner_fea_steps):
+        opt_fea.zero_grad(), opt_cls.zero_grad()
+        high, low = tm1.backbone(image_t)
+        o1t, _ = cls_fwd(tm1, high, low)
+        o2t, _ = cls_fwd(tm2, high, low)
+        cdd_after = discrepancy(o1t, o2t)
+        (cdd_weight * cdd_after).backward()
+        opt_fea.step()
+
+    return {
+        "loss_seg": loss_seg.item(),
+        "loss_cdd_before": cdd_before.item(),
+        "loss_cdd_after": cdd_after.item(),
+    }
