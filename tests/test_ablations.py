@@ -107,6 +107,40 @@ def test_prototype_wotn_weight_rectify_and_initial_pseudo(tmp_path):
     assert m["loss_cup"] != m_plain["loss_cup"]  # rectification changed the pools
 
 
+def test_wotn_frozen_initial_survives_checkpoint_roundtrip(tmp_path):
+    """The frozen pseudo-label model (TrainState.initial_params, populated
+    by pseudo_from_initial) must ride through an orbax save/restore: on
+    resume, the restored snapshot must win over the fresh-init snapshot the
+    constructor takes (Trainer.__init__ snapshots BEFORE _resume), so the
+    pseudo-label source stays the one the original run froze."""
+    import jax
+
+    from uda_clr_tpu.train import checkpoint as ckpt_lib
+    from uda_clr_tpu.train.trainer import Trainer
+
+    cfg = _tiny_cfg(
+        tmp_path, "prototype", warmup_epoch=0,
+        use_weight_rectify=True, pseudo_from_initial=True,
+    )
+    tr = Trainer(cfg)
+    tr.epoch = 1
+    tr.train_epoch()
+    frozen = jax.device_get(tr.state.initial_params)
+    ckpt_dir = str(tmp_path / "prototype" / "checkpoints")
+    ckpt_lib.save_checkpoint(ckpt_dir, tr.state, epoch=1, best_mean_dice=0.1, tag="checkpoint_1")
+
+    cfg2 = _tiny_cfg(
+        tmp_path, "prototype", warmup_epoch=0,
+        use_weight_rectify=True, pseudo_from_initial=True,
+    )
+    cfg2.run.out_dir = str(tmp_path / "wotn_resume")
+    cfg2.run.resume = ckpt_dir
+    cfg2.run.seed = 3  # different init, so a clobbered snapshot would differ
+    tr2 = Trainer(cfg2)
+    for a, b in zip(jax.tree.leaves(frozen), jax.tree.leaves(jax.device_get(tr2.state.initial_params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_default_config_unchanged_by_switches(tmp_path):
     """The new switches default to the full method: prototype_full still
     reports both D losses and the adversarial term."""
