@@ -43,10 +43,15 @@ def main():
 
     # kernel-backend A/B knobs (default = shipped configuration)
     set_dropout_impl(os.environ.get("UDA_DROPOUT_IMPL", "xla16"))
+    # UDA_BENCH_NORM=tn benchmarks the TransNorm configuration (--use_TN:
+    # per-domain running stats + transferability residual); default is the
+    # production plain-BN path the headline number tracks.
+    norm = os.environ.get("UDA_BENCH_NORM", "bn")
 
     size, batch = 512, 8
     cfg = Config()
     cfg.model.compute_dtype = "bfloat16"
+    cfg.model.norm = norm
     cfg.method.method = "prototype_full"
     cfg.method.mc_samples = 8  # reference T=8
     cfg.method.mask_head_impl = os.environ.get("UDA_MASKHEAD_IMPL", "auto")
@@ -57,7 +62,7 @@ def main():
         n_data -= 1
     mesh = get_mesh((n_data,))
     model = DeepLab(
-        num_classes=2, backbone="mobilenet", output_stride=16, norm="bn",
+        num_classes=2, backbone="mobilenet", output_stride=16, norm=norm,
         dtype=jnp.bfloat16,
     )
     state = create_train_state(model, jax.random.PRNGKey(0), (batch, size, size, 3))
@@ -140,7 +145,8 @@ def main():
 
     ips_per_chip = batch / (med_ms / 1e3) / n_data
     result = {
-        "metric": "prototype_full train throughput (512x512, B8, T=8 MC, bf16)",
+        "metric": "prototype_full train throughput (512x512, B8, T=8 MC, bf16"
+        + (", TransNorm)" if norm == "tn" else ")"),
         "value": round(ips_per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips_per_chip / A100_REFERENCE_IMG_PER_SEC, 3),
