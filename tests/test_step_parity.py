@@ -362,6 +362,108 @@ def test_mean_teacher_step_parity(dropout_off):
     )
 
 
+def test_prototype_bank_step_parity(dropout_off):
+    """Two fused disk-bank (method='prototype') iterations vs the torch
+    transcription of the checked-in Trainer_prototype
+    (tests/torch_step_ref.py:prototype_bank_iteration). Covers: the
+    +1-smoothed per-image pooling of GT-masked source features, the
+    adaptation_factor-thresholded target pseudo-masks, the x0.05
+    prototype-distance losses in the G objective, the D updates, and the
+    0.001 bank EMA with the zero-vector guard."""
+    from tests.torch_step_ref import prototype_bank_iteration
+
+    torch.manual_seed(0)
+    tm = TorchDeepLab(num_classes=2, output_stride=16, backbone="mobilenet")
+    tm.train()
+    _zero_torch_dropout(tm)
+    # spread BOTH heads' logits so sigmoid straddles the epoch-30
+    # adaptation threshold (~0.70) — random-init sigmoid sits at ~0.5
+    # where every rectified mask would be empty (see the main test's
+    # spread-trick comment)
+    with torch.no_grad():
+        tm.decoder.last_conv[3].weight.mul_(10.0)
+        tm.decoder.last_conv[3].bias.mul_(10.0)
+        tm.decoder.last_conv_boundary[8].weight.mul_(10.0)
+        tm.decoder.last_conv_boundary[8].bias.mul_(10.0)
+    tdis = TorchPatchDiscriminator(1)
+    tdis2 = TorchPatchDiscriminator(2)
+    tdis.train(), tdis2.train()
+
+    lr_gen = 1e-4
+    opt_gen = torch.optim.Adam(tm.parameters(), lr=lr_gen, betas=(0.9, 0.99))
+    opt_dis = torch.optim.SGD(tdis.parameters(), lr=2.5e-5, momentum=0.99, weight_decay=5e-4)
+    opt_dis2 = torch.optim.SGD(tdis2.parameters(), lr=2.5e-5, momentum=0.99, weight_decay=5e-4)
+
+    sd = {k: v.numpy() for k, v in tm.state_dict().items() if "num_batches_tracked" not in k}
+    gen_params, gen_stats = convert_deeplab_state_dict(sd, output_stride=16)
+    dis_params = convert_discriminator_state_dict(
+        {k: v.numpy() for k, v in tdis.state_dict().items()}
+    )
+    dis2_params = convert_discriminator_state_dict(
+        {k: v.numpy() for k, v in tdis2.state_dict().items()}
+    )
+
+    cfg = Config()
+    cfg.model.compute_dtype = "float32"
+    cfg.method.method = "prototype"
+    cfg.method.rng_impl = "threefry2x32"
+
+    model = DeepLab(num_classes=2, backbone="mobilenet", output_stride=16, norm="bn")
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (B, SIZE, SIZE, 3), with_proto_bank=True
+    )
+    state = state.replace(
+        gen_params=jax.tree.map(jnp.asarray, gen_params),
+        gen_stats=jax.tree.map(jnp.asarray, gen_stats),
+        dis_params=jax.tree.map(jnp.asarray, dis_params),
+        dis2_params=jax.tree.map(jnp.asarray, dis2_params),
+    )
+
+    step = make_train_step(model, cfg, "prototype", proto_phase=True)
+    bank = {
+        "bu": torch.zeros(304),
+        "cup": torch.zeros(305),
+        "disc": torch.zeros(305),
+    }
+    rng = np.random.default_rng(7)
+
+    for it in range(2):
+        img_s, map_s, bnd_s, img_t = _make_batch(rng)
+        batch = {
+            "image_s": jnp.asarray(img_s),
+            "map_s": jnp.asarray(map_s),
+            "boundary_s": jnp.asarray(bnd_s),
+            "image_t": jnp.asarray(img_t),
+        }
+        state, metrics = step(state, batch, lr_gen, 2.5e-5, 30)
+        want = prototype_bank_iteration(
+            tm, tdis, tdis2, opt_gen, opt_dis, opt_dis2, bank,
+            _to_nchw(img_s), _to_nchw(map_s), _to_nchw(bnd_s), _to_nchw(img_t),
+            epoch=30,
+        )
+        tol = 5e-4 if it == 0 else 5e-3
+        for key in ("loss_seg", "loss_adv", "loss_all", "loss_D", "loss_D2"):
+            np.testing.assert_allclose(
+                float(metrics[key]), want[key], rtol=tol,
+                err_msg=f"iter {it}: {key}",
+            )
+        # the prototype-distance scalars pool through HARD thresholds
+        # (sigmoid > adaptation_factor): near-threshold pixels can flip
+        # under fp32 noise, moving the masked means discretely (same
+        # reasoning as the main test's loss_intra tolerance)
+        for key in ("loss_bu", "loss_cup", "loss_disc"):
+            np.testing.assert_allclose(
+                float(metrics[key]), want[key], rtol=tol * 20, atol=1e-5,
+                err_msg=f"iter {it}: {key}",
+            )
+        # the EMA'd disk bank (zero-guarded, momentum 0.001)
+        for key in ("bu", "cup", "disc"):
+            np.testing.assert_allclose(
+                np.asarray(state.proto_bank[key]), bank[key].numpy(),
+                rtol=5e-2, atol=1e-4, err_msg=f"iter {it}: bank[{key}]",
+            )
+
+
 def test_bcdm_step_parity(dropout_off):
     """Two fused bcdm iterations vs the torch transcription of the
     bytecode-only Trainer_bcdm (tests/torch_step_ref.py:bcdm_iteration).

@@ -302,6 +302,131 @@ def _discriminator_updates(dis, dis2, opt_dis, opt_dis2, oS, boundaryS, oT, boun
     return (loss_D_same2 + loss_D_diff2).item(), (loss_D_same1 + loss_D_diff1).item()
 
 
+def prototype_bank_iteration(
+    gen: nn.Module,
+    dis: nn.Module,
+    dis2: nn.Module,
+    opt_gen,
+    opt_dis,
+    opt_dis2,
+    bank: dict,
+    image_s,
+    map_s,
+    boundary_s,
+    image_t,
+    *,
+    epoch: int = 30,
+    adv_weight: float = 0.01,
+    bank_loss_weight: float = 0.05,
+    bank_ema: float = 0.001,
+):
+    """One Trainer_prototype (disk-bank) iteration past warmup
+    (train_process/Trainer_prototype.py:240-533, source checked in):
+    per-image +1-smoothed bmm pooling of GT-masked source features and
+    adaptation_factor-thresholded target pseudo-masks (:360-455; the
+    weight-rectified variants are commented out in the source — plain
+    sigmoid thresholding, like the framework's default
+    use_weight_rectify=False), MSE prototype-distance losses x0.05
+    (:475-476), adversarial G term, single backward + Adam step, the
+    standard D same/diff updates, then bank EMA 0.001 with the
+    zero-vector guard (:529-533, :117-123). ``bank`` is a dict of
+    {'bu','cup','disc'} tensors mutated in place.
+
+    The reference concat-forwards S||T in ONE batch (:306) to feed
+    TransNorm's half-batch split; this plain-BN oracle runs the
+    equivalent separate T-then-S forwards (the woTN bytecode's form,
+    and what the framework's domains=2 per-half BN computes).
+    """
+    bceloss = nn.BCELoss()
+    mseloss = nn.MSELoss()
+    smooth = 1e-7
+    import math
+
+    thr = 1.0 / (1.0 + math.exp(-0.8 * (epoch + 1))) - 0.3
+
+    gen.train(), dis.train(), dis2.train()
+    opt_gen.zero_grad(), opt_dis.zero_grad(), opt_dis2.zero_grad()
+    for p in dis.parameters():
+        p.requires_grad = False
+    for p in dis2.parameters():
+        p.requires_grad = False
+    for p in gen.parameters():
+        p.requires_grad = True
+
+    oT, boundaryT, _, xt_bu_feature, xt_feature, oT_before, bT_before = gen(image_t)
+    oS, boundaryS, _, xs_bu_feature, xs_feature, oS_before, _ = gen(image_s)
+
+    loss_seg = bceloss(torch.sigmoid(oS), map_s) + mseloss(
+        torch.sigmoid(boundaryS), boundary_s
+    )
+
+    def pool(feat, mask):
+        # bmm pooling := per-image sum(feat*mask)/(sum(mask)+1), batch mean
+        num = torch.sum(feat * mask, dim=[2, 3])  # [B, C]
+        den = torch.sum(mask, dim=[2, 3]) + 1.0  # [B, 1]
+        return torch.mean(num / den, dim=0)  # [C]
+
+    feat_hw = oS_before.shape[2:]
+    pred_oS = F.interpolate(map_s.clone(), size=feat_hw, mode="bilinear", align_corners=True)
+    bu_s = F.interpolate(boundary_s.clone(), size=feat_hw, mode="bilinear", align_corners=True)
+    proto_x_bu = pool(xs_bu_feature, bu_s)
+    proto_x_cup = pool(xs_feature, pred_oS[:, 0:1])
+    proto_x_disc = pool(xs_feature, pred_oS[:, 1:2])
+
+    pred_oT = torch.sigmoid(oT_before)
+    bu_rect = torch.sigmoid(bT_before).clone()
+    bu_rect[bu_rect > thr] = 1.0
+    bu_rect[bu_rect <= thr] = 0.0
+    cup_rect = pred_oT[:, 0:1].clone()
+    cup_rect[cup_rect > thr] = 1.0
+    cup_rect[cup_rect <= thr] = 0.0
+    disc_rect = pred_oT[:, 1:].clone()
+    disc_rect[disc_rect > thr] = 1.0
+    disc_rect[disc_rect <= thr] = 0.0
+    proto_y_bu = pool(xt_bu_feature, bu_rect)
+    proto_y_cup = pool(xt_feature, cup_rect)
+    proto_y_disc = pool(xt_feature, disc_rect)
+
+    dis_bu = torch.mean(torch.pow(proto_x_bu - proto_y_bu, 2))
+    dis_cup = torch.mean(torch.pow(proto_x_cup - proto_y_cup, 2))
+    dis_disc = torch.mean(torch.pow(proto_x_disc - proto_y_disc, 2))
+
+    unc_T = -1.0 * torch.sigmoid(oT) * torch.log(torch.sigmoid(oT) + smooth)
+    D_out2 = dis(torch.sigmoid(boundaryT))
+    D_out1 = dis2(unc_T)
+    loss_adv = adv_weight * (
+        F.binary_cross_entropy_with_logits(D_out1, torch.ones_like(D_out1))
+        + F.binary_cross_entropy_with_logits(D_out2, torch.ones_like(D_out2))
+    )
+
+    loss_all = loss_seg + loss_adv + bank_loss_weight * (dis_disc + dis_cup + dis_bu)
+    out = {
+        "loss_seg": loss_seg.item(),
+        "loss_adv": loss_adv.item(),
+        "loss_bu": dis_bu.item(),
+        "loss_cup": dis_cup.item(),
+        "loss_disc": dis_disc.item(),
+        "loss_all": loss_all.item(),
+    }
+    loss_all.backward()
+    opt_gen.step()
+
+    for p in gen.parameters():
+        p.requires_grad = False
+    out["loss_D"], out["loss_D2"] = _discriminator_updates(
+        dis, dis2, opt_dis, opt_dis2, oS, boundaryS, oT, boundaryT
+    )
+    for p in gen.parameters():
+        p.requires_grad = True
+
+    # bank EMA with the zero-vector guard (update_objective_SingleVector)
+    with torch.no_grad():
+        for key, y in (("bu", proto_y_bu), ("cup", proto_y_cup), ("disc", proto_y_disc)):
+            if float(y.sum()) != 0.0:
+                bank[key] = bank[key] * (1.0 - bank_ema) + bank_ema * y.detach()
+    return out
+
+
 def mean_teacher_iteration(
     gen: nn.Module,
     teacher: nn.Module,
