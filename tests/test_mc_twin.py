@@ -14,6 +14,13 @@ would silently drift — these tests make that loud:
     agree to sampling noise + the documented downstream-BN approximation
     (stats mix T samples vs the reference's 2; A/B'd as indistinguishable
     in round 2, PARITY.md).
+
+Parametrized over norm: 'tn' exercises the TransNorm identical-halves
+degenerate fast path (DomainNorm2d domains=0 + the twin's scale*2 fold —
+round 4): with dropout off the [T;T] halves of the slow path stay
+bitwise identical through the whole net, every alpha == 1 exactly, so
+fast-vs-slow equality here PROVES the degenerate-mode algebra, not just
+the twin's plumbing.
 """
 
 import numpy as np
@@ -29,9 +36,10 @@ from uda_clr_tpu.train.steps import _mc_dropout_forward
 B, SIZE = 2, 64
 
 
-@pytest.fixture(scope="module")
-def setup():
-    model = DeepLab(num_classes=2, backbone="mobilenet", output_stride=16, norm="bn")
+@pytest.fixture(scope="module", params=["bn", "tn"])
+def setup(request):
+    model = DeepLab(num_classes=2, backbone="mobilenet", output_stride=16,
+                    norm=request.param)
     state = create_train_state(model, jax.random.PRNGKey(0), (B, SIZE, SIZE, 3))
     rng = np.random.default_rng(5)
     image_t = jnp.asarray(rng.standard_normal((B, SIZE, SIZE, 3)).astype(np.float32))
@@ -75,7 +83,8 @@ def test_fast_twin_statistics_match_model_when_dropout_on(setup):
     T = 16
     fast = jax.nn.sigmoid(jnp.asarray(_mc(model, state, image_t, T, fast=True, key=1)))
     slow = jax.nn.sigmoid(jnp.asarray(_mc(model, state, image_t, T, fast=False, key=2)))
-    fast, slow = np.asarray(fast), np.asarray(slow)
+    slow2 = jax.nn.sigmoid(jnp.asarray(_mc(model, state, image_t, T, fast=False, key=3)))
+    fast, slow, slow2 = np.asarray(fast), np.asarray(slow), np.asarray(slow2)
 
     mean_f, mean_s = fast.mean(axis=0), slow.mean(axis=0)
     std_f, std_s = fast.std(axis=0, ddof=1), slow.std(axis=0, ddof=1)
@@ -83,5 +92,12 @@ def test_fast_twin_statistics_match_model_when_dropout_on(setup):
     # global moments of the MC distribution agree
     assert abs(mean_f.mean() - mean_s.mean()) < 0.01
     assert abs(std_f.mean() - std_s.mean()) < 0.01
-    # per-pixel mean maps agree up to T=16 sampling noise
-    assert np.mean(np.abs(mean_f - mean_s)) < 0.05
+    # per-pixel mean maps agree up to T=16 sampling noise. The noise floor
+    # is MEASURED (slow-vs-slow under a different key) rather than fixed:
+    # TransNorm's per-half moments (B*H*W/2 pixels) + per-channel alpha
+    # jitter make its MC samples noisier than bn's at the same T (floor
+    # ~0.067 vs ~0.04 at these shapes), and a fixed bound would conflate
+    # that with approximation bias. Measured floors: tn fast-vs-slow
+    # 0.0669 vs slow-vs-slow 0.0670 — no detectable bias.
+    floor = np.mean(np.abs(slow.mean(axis=0) - slow2.mean(axis=0)))
+    assert np.mean(np.abs(mean_f - mean_s)) < 1.25 * floor + 0.005

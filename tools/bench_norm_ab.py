@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Same-session bn-vs-tn throughput A/B of the flagship train step.
+
+The TPU relay's session state moves absolute step time ~17% between
+sessions (README "Perf caveat"), so the TransNorm overhead claim must be
+measured as a ratio INSIDE one process: this times the production
+prototype_full step (512x512, batch 8, T=8 MC, bf16) for norm='bn' and
+norm='tn' back to back and prints both plus tn/bn.
+
+Reference capability: --use_TN (networks/sync_batchnorm/batchnorm.py:390-521);
+target: the BASELINE.md >=3x north star should hold for the TN
+configuration too (VERDICT r3 item 3).
+
+Usage: python tools/bench_norm_ab.py [--size 512] [--batch 8] [--windows 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_REFERENCE_IMG_PER_SEC = 20.0  # see bench.py module docstring
+
+
+def bench_norm(norm: str, size: int, batch: int, windows: int, iters: int):
+    from uda_clr_tpu.config import Config
+    from uda_clr_tpu.models.deeplab import DeepLab
+    from uda_clr_tpu.parallel.mesh import batch_sharding, get_mesh, replicated_sharding
+    from uda_clr_tpu.train.state import create_train_state
+    from uda_clr_tpu.train.steps import make_train_step
+
+    cfg = Config()
+    cfg.model.compute_dtype = "bfloat16"
+    cfg.model.norm = norm
+    cfg.method.method = "prototype_full"
+    cfg.method.mc_samples = 8
+
+    n_dev = len(jax.devices())
+    n_data = n_dev
+    while batch % n_data:
+        n_data -= 1
+    mesh = get_mesh((n_data,))
+    model = DeepLab(num_classes=2, backbone="mobilenet", output_stride=16,
+                    norm=norm, dtype=jnp.bfloat16)
+    state = create_train_state(model, jax.random.PRNGKey(0), (batch, size, size, 3))
+    state = jax.device_put(state, replicated_sharding(mesh))
+
+    rng = np.random.default_rng(0)
+    sh = batch_sharding(mesh)
+    data = {
+        "image_s": jax.device_put(
+            rng.standard_normal((batch, size, size, 3)).astype(np.float32), sh),
+        "map_s": jax.device_put(
+            (rng.uniform(0, 1, (batch, size, size, 2)) > 0.5).astype(np.float32), sh),
+        "boundary_s": jax.device_put(
+            rng.uniform(0, 1, (batch, size, size, 1)).astype(np.float32), sh),
+        "image_t": jax.device_put(
+            rng.standard_normal((batch, size, size, 3)).astype(np.float32), sh),
+    }
+    step = make_train_step(model, cfg, "prototype_full", proto_phase=True)
+
+    t0 = time.time()
+    state, metrics = step(state, data, 1e-3, 2.5e-5, 30)
+    # data-dependent fetch = the only sound timing barrier on this relay
+    float(metrics["loss_all"])
+    compile_s = time.time() - t0
+    print(f"# [{norm}] compiled in {compile_s:.1f}s", file=sys.stderr, flush=True)
+    for _ in range(2):
+        state, metrics = step(state, data, 1e-3, 2.5e-5, 30)
+    float(metrics["loss_all"])
+
+    window_ms = []
+    for _ in range(windows):
+        t0 = time.time()
+        for _ in range(iters):
+            state, metrics = step(state, data, 1e-3, 2.5e-5, 30)
+        float(metrics["loss_all"])
+        window_ms.append((time.time() - t0) / iters * 1000.0)
+    window_ms.sort()
+    med = float(np.median(window_ms))
+    return {
+        "norm": norm,
+        "step_ms_median": round(med, 1),
+        "step_ms_windows": [round(w, 1) for w in window_ms],
+        "img_per_sec_chip": round(batch / (med / 1e3) / n_data, 2),
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--windows", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    from uda_clr_tpu.models.layers import set_dropout_impl
+    set_dropout_impl(os.environ.get("UDA_DROPOUT_IMPL", "xla16"))
+
+    results = [bench_norm(n, args.size, args.batch, args.windows, args.iters)
+               for n in ("bn", "tn")]
+    ratio = results[1]["step_ms_median"] / results[0]["step_ms_median"]
+    out = {
+        "bn": results[0],
+        "tn": results[1],
+        "tn_over_bn": round(ratio, 3),
+        "tn_vs_baseline": round(
+            results[1]["img_per_sec_chip"] / A100_REFERENCE_IMG_PER_SEC, 3),
+        "device_kind": jax.devices()[0].device_kind,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

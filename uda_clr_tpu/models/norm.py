@@ -77,6 +77,10 @@ class DomainNorm2d(nn.Module):
 
     Input layout: ``[..., H, W, C]`` with the batch as the leading axis.
     ``domains=2`` interprets the batch as ``[source; target]`` halves.
+    ``domains=0`` (train only) is the MC-degenerate mode: the batch stands
+    for an identical-halves ``[T;T]`` repeat, for which TransNorm reduces
+    exactly to batch-moment normalization times 2 (see the tn branch); for
+    ``bn`` it is identical to ``domains=1``.
     Running statistics live in the ``batch_stats`` collection and are only
     written when that collection is mutable (so MC-dropout forwards can run
     in train-mode normalization without perturbing the stats — a deliberate
@@ -112,37 +116,69 @@ class DomainNorm2d(nn.Module):
             return (1.0 - m) * old + m * new
 
         if self.mode == "tn":
+            if train and domains == 0:
+                # MC-degenerate mode (identical-halves repeated batch):
+                # the reference's rectification forwards feed TransNorm a
+                # [T;T] 2x-repeated target batch
+                # (Trainer_prototype_full.py:358-368), so both halves are
+                # bitwise identical up to the first dropout site — the
+                # per-half moments coincide, dis == 0 exactly, prob == 1,
+                # alpha == C * (1/C) == 1, and the layer reduces EXACTLY to
+                # "normalize with own batch moments, times 2". Computing
+                # that directly at batch B lets the MC fast path share one
+                # deterministic prefix instead of re-running the repeated
+                # 2B batch per sample (steps._mc_dropout_forward). Never
+                # writes running stats (the MC pass is stat-isolated).
+                mu, v, _ = _batch_moments(x)
+                return _normalize(x, mu, v, scale * 2.0, bias * 2.0, self.eps)
             if train:
                 # TransNorm always splits the batch in half, source first
                 # (batchnorm.py:439-442), regardless of `domains`.
+                # Formulated as a [2, b, ...] reshape + broadcast (like the
+                # bn domains=2 branch below) so XLA keeps whole-tensor op
+                # granularity: one fused moment reduction and one fused
+                # affine instead of slice/normalize/concat per layer.
                 b = x.shape[0] // 2
-                xs, xt = x[:b], x[b:]
-                mu_s, v_s, n = _batch_moments(xs)
-                mu_t, v_t, _ = _batch_moments(xt)
-                zs = _normalize(xs, mu_s, v_s, scale, bias, self.eps)
-                zt = _normalize(xt, mu_t, v_t, scale, bias, self.eps)
-                z = jnp.concatenate([zs, zt], axis=0)
+                x2 = x.reshape(2, b, *x.shape[1:])
+                x32 = x2.astype(jnp.float32)
+                reduce_axes = tuple(range(1, x2.ndim - 1))
+                n = b
+                for a in x.shape[1:-1]:
+                    n *= a
+                mu2 = jnp.mean(x32, axis=reduce_axes)  # [2, C]
+                v2 = jnp.maximum(
+                    jnp.mean(jnp.square(x32), axis=reduce_axes) - jnp.square(mu2), 0.0
+                )
                 unbias = n / max(n - 1, 1)
                 if writable:
-                    mean_s.value = ema(mean_s.value, mu_s)
-                    var_s.value = ema(var_s.value, v_s * unbias)
-                    mean_t.value = ema(mean_t.value, mu_t)
-                    var_t.value = ema(var_t.value, v_t * unbias)
+                    mean_s.value = ema(mean_s.value, mu2[0])
+                    var_s.value = ema(var_s.value, v2[0] * unbias)
+                    mean_t.value = ema(mean_t.value, mu2[1])
+                    var_t.value = ema(var_t.value, v2[1] * unbias)
                 # alpha from *unbiased* batch variance (torch.var default).
-                dis = jnp.abs(
-                    mu_s * jax.lax.rsqrt(v_s * unbias + self.eps)
-                    - mu_t * jax.lax.rsqrt(v_t * unbias + self.eps)
-                )
-            else:
-                z = _normalize(x, mean_t.value, var_t.value, scale, bias, self.eps)
-                dis = jnp.abs(
-                    mean_s.value * jax.lax.rsqrt(var_s.value + self.eps)
-                    - mean_t.value * jax.lax.rsqrt(var_t.value + self.eps)
-                )
+                invu = jax.lax.rsqrt(v2 * unbias + self.eps)
+                dis = jnp.abs(mu2[0] * invu[0] - mu2[1] * invu[1])
+                prob = 1.0 / (1.0 + dis)
+                # z * (1 + alpha) with (1 + alpha) FOLDED into the affine:
+                # (x-mu)*inv*scale*(1+a) + bias*(1+a) — alpha is detached
+                # (batchnorm.py:493) so gradients are unchanged, and the
+                # fold removes a full-tensor multiply per layer.
+                a1 = jax.lax.stop_gradient(1.0 + f * prob / jnp.sum(prob))  # [C]
+                bshape = (2,) + (1,) * (x2.ndim - 2) + (f,)
+                inv2 = jax.lax.rsqrt(v2 + self.eps)
+                z = (
+                    x2 - mu2.reshape(bshape).astype(x.dtype)
+                ) * (inv2 * (scale * a1)).reshape(bshape).astype(x.dtype) \
+                    + (bias * a1).astype(x.dtype)
+                return z.reshape(x.shape)
+            dis = jnp.abs(
+                mean_s.value * jax.lax.rsqrt(var_s.value + self.eps)
+                - mean_t.value * jax.lax.rsqrt(var_t.value + self.eps)
+            )
             prob = 1.0 / (1.0 + dis)
-            alpha = f * prob / jnp.sum(prob)
-            alpha = jax.lax.stop_gradient(alpha).astype(z.dtype)
-            return z * (1.0 + alpha)
+            a1 = jax.lax.stop_gradient(1.0 + f * prob / jnp.sum(prob))
+            return _normalize(x, mean_t.value, var_t.value, scale * a1, bias * a1,
+                              self.eps)
 
         # --- plain BN ---
         if not train:

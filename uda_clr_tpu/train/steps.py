@@ -133,7 +133,8 @@ def _conv(x, kernel, padding):
 
 
 def _mc_suffix(model, params, stats, feat_predrop, ll, hw, b, t_samples: int,
-               rng, rng_impl: str, mask_head_impl: str):
+               rng, rng_impl: str, mask_head_impl: str,
+               tn_degenerate: bool = False):
     """T dropout-sampled mask-head passes from a (deterministic) prefix.
 
     This is the hand-scheduled twin of Decoder.suffix_bound + the mask
@@ -153,6 +154,15 @@ def _mc_suffix(model, params, stats, feat_predrop, ll, hw, b, t_samples: int,
         (ops/pallas/mask_head.py:fused_mask_head_split), so the
         [T*B,.,305] concat never exists either.
 
+    ``tn_degenerate=True`` applies the TransNorm identical-halves
+    degenerate semantics (see DomainNorm2d's ``domains=0``): each norm
+    site multiplies by (1+alpha)==2 exactly, folded into the affine as
+    scale*2 / bias*2. Post-dropout the reference's per-half alpha deviates
+    from 1 only by dropout noise on the half-moments — the same order of
+    approximation as the flat-T*B moment mixing already documented above
+    (dropout-off, the two paths are bit-equal; pinned by
+    tests/test_mc_twin.py's norm='tn' parametrization).
+
     Returns stop-gradiented [T, B, H, W, 2] mask logits (callers must
     also pass stop-gradiented params/inputs when tracing under a grad).
     """
@@ -162,6 +172,7 @@ def _mc_suffix(model, params, stats, feat_predrop, ll, hw, b, t_samples: int,
 
     H, W = hw
     dec = params["decoder"]
+    s2 = 2.0 if tn_degenerate else 1.0
     k_aspp, k_d1, k_d2, k_mask = jax.random.split(rng, 4)
     # hardware RBG keys for the big mask draws (same as TpuDropout's path);
     # k_mask included so the XLA fallback inside fused_mask_head_split draws
@@ -190,13 +201,13 @@ def _mc_suffix(model, params, stats, feat_predrop, ll, hw, b, t_samples: int,
     y = _conv(x_up, w1[:, :, :256, :], [(1, 1), (1, 1)]) + \
         _conv(ll_rep, w1[:, :, 256:, :], [(1, 1), (1, 1)])
     mu1, var1 = _moments_f32(y)
-    y = jax.nn.relu(_bn_apply(y, mu1, var1, dec["bound_bn1"]["scale"],
-                              dec["bound_bn1"]["bias"]))
+    y = jax.nn.relu(_bn_apply(y, mu1, var1, dec["bound_bn1"]["scale"] * s2,
+                              dec["bound_bn1"]["bias"] * s2))
     y = _mc_drop(k_d1, y, 0.5)
     y = _conv(y, dec["bound_conv2"]["conv"]["kernel"], [(1, 1), (1, 1)])
     mu2, var2 = _moments_f32(y)
-    y = jax.nn.relu(_bn_apply(y, mu2, var2, dec["bound_bn2"]["scale"],
-                              dec["bound_bn2"]["bias"]))
+    y = jax.nn.relu(_bn_apply(y, mu2, var2, dec["bound_bn2"]["scale"] * s2,
+                              dec["bound_bn2"]["bias"] * s2))
     y = _mc_drop(k_d2, y, 0.1)
     boundary = _conv(y, dec["bound_out"]["conv"]["kernel"], [(0, 0), (0, 0)]) \
         + dec["bound_out"]["conv"]["bias"].astype(y.dtype)
@@ -210,7 +221,7 @@ def _mc_suffix(model, params, stats, feat_predrop, ll, hw, b, t_samples: int,
         x_up, ll_rep, boundary,
         jnp.concatenate([mu_x, mu_l, mu_b]),
         jnp.concatenate([var_x, var_l, var_b]),
-        dec["mask_bn"]["scale"], dec["mask_bn"]["bias"],
+        dec["mask_bn"]["scale"] * s2, dec["mask_bn"]["bias"] * s2,
         dec["mask_out"]["conv"]["kernel"], dec["mask_out"]["conv"]["bias"],
         k_mask, rate=drop_rate,
         impl="xla" if drop_rate == 0.0 else mask_head_impl,
@@ -228,17 +239,24 @@ def _mc_dropout_forward(model, params, stats, imageT, rng, t_samples: int,
     independent samples per forward; BN normalizes with the repeated-batch
     statistics, which equal the plain batch statistics.
 
-    ``fast`` (default, 'bn' norm only): no backbone in any of the four
-    backbones contains dropout, so the T samples share ONE deterministic
-    backbone pass; only ASPP+decoder+upsample run per-sample, as a single
-    flat T*B batch under one dropout key (i.i.d. masks per repeated
-    sample) at a fraction of the FLOPs. One documented approximation: for
-    norm layers *downstream of a dropout layer*, train-mode batch stats
-    mix all T dropout samples (the reference's 2x-repeated forwards mix 2;
-    stats are over B*H*W pixels either way, so the difference is noise on
-    the std-map). ``fast=False`` reproduces the reference's repeated-batch
-    structure exactly (and is required for TransNorm, whose half-batch
-    split sees [T;T] in the reference).
+    ``fast`` (default): no backbone in any of the four backbones contains
+    dropout, so the T samples share ONE deterministic backbone pass; only
+    ASPP+decoder+upsample run per-sample, as a single flat T*B batch under
+    one dropout key (i.i.d. masks per repeated sample) at a fraction of
+    the FLOPs. One documented approximation: for norm layers *downstream
+    of a dropout layer*, train-mode batch stats mix all T dropout samples
+    (the reference's 2x-repeated forwards mix 2; stats are over B*H*W
+    pixels either way, so the difference is noise on the std-map).
+
+    Under TransNorm the fast path is also valid: the reference's MC
+    forward feeds TN a [T;T] identical-halves repeat, for which TN
+    reduces EXACTLY to batch-moment normalization times 2 up to the first
+    dropout site (dis==0 -> alpha==1; DomainNorm2d ``domains=0``), so the
+    shared deterministic prefix is bit-equal to the repeated form;
+    downstream of dropout, alpha==1 is an approximation of the same order
+    as the moment mixing above (the reference's per-half alpha deviates
+    from 1 only by dropout noise). ``fast=False`` reproduces the
+    reference's repeated-batch structure exactly for either norm.
 
     Outputs are stop-gradiented (reference runs under no_grad); running
     stats are NOT drifted (deliberate fix — the reference lets these
@@ -247,7 +265,9 @@ def _mc_dropout_forward(model, params, stats, imageT, rng, t_samples: int,
     b, H, W = imageT.shape[0], imageT.shape[1], imageT.shape[2]
     variables = {"params": params, "batch_stats": stats}
     if fast:
-        high, low = model.apply(variables, imageT, True, 1, method="features")
+        tn = model.norm == "tn"
+        dm = 0 if tn else 1  # TN identical-halves degenerate mode
+        high, low = model.apply(variables, imageT, True, dm, method="features")
         # The deterministic pre-dropout prefix (full ASPP minus its final
         # dropout + the decoder low-level projection) runs ONCE at batch B:
         # replicating T times first would feed every BN T identical copies
@@ -259,10 +279,11 @@ def _mc_dropout_forward(model, params, stats, imageT, rng, t_samples: int,
         # MC path; this standalone entry remains for the slow/TN paths and
         # direct callers.)
         feat_predrop, ll = model.apply(
-            variables, high, low, True, 1, method="heads_prefix"
+            variables, high, low, True, dm, method="heads_prefix"
         )
         return _mc_suffix(model, params, stats, feat_predrop, ll, (H, W), b,
-                          t_samples, rng, rng_impl, mask_head_impl)
+                          t_samples, rng, rng_impl, mask_head_impl,
+                          tn_degenerate=tn)
 
     lanes = max(t_samples // 2, 1)
     x_rep = jnp.concatenate([imageT, imageT], axis=0)
@@ -561,9 +582,12 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
         )
         mc_logits = None
         if use_proto_full and mcfg.retrify_pseudo and not mc_inline:
+            # TN takes this path with fast=True via the identical-halves
+            # degenerate prefix (see _mc_dropout_forward); only bn can go
+            # further and inline the sampling into the main S||T forward.
             mc_logits = _mc_dropout_forward(
                 model, state.gen_params, state.gen_stats, image_t, k_mc,
-                mcfg.mc_samples, fast=mcfg.mc_fast and model.norm == "bn",
+                mcfg.mc_samples, fast=mcfg.mc_fast,
                 rng_impl=mcfg.rng_impl,
                 mask_head_impl=getattr(mcfg, "mask_head_impl", "auto"),
             ).astype(jnp.float32)
