@@ -319,6 +319,8 @@ def prototype_bank_iteration(
     adv_weight: float = 0.01,
     bank_loss_weight: float = 0.05,
     bank_ema: float = 0.001,
+    use_weight_rectify: bool = False,
+    pseudo_model: nn.Module | None = None,
 ):
     """One Trainer_prototype (disk-bank) iteration past warmup
     (train_process/Trainer_prototype.py:240-533, source checked in):
@@ -336,6 +338,17 @@ def prototype_bank_iteration(
     TransNorm's half-batch split; this plain-BN oracle runs the
     equivalent separate T-then-S forwards (the woTN bytecode's form,
     and what the framework's domains=2 per-half BN computes).
+
+    woTN switches (Trainer_prototype_woTN, instruction-verified via
+    tools/pyc_disasm.py — PARITY.md §2.2):
+      * ``use_weight_rectify``: target soft maps are scaled by the
+        min-max-normalized per-pixel L2 distance to the corresponding
+        BANK vector before thresholding (woTN :381-382/:399/:423;
+        prototype_weight/feat_prototype_distance, Trainer_prototype.py:98-116);
+      * ``pseudo_model``: a FROZEN generator whose detached 'before'
+        heads supply the target pseudo-labels (woTN :309-311/:373-377);
+        run in eval mode so its running stats cannot drift (matching the
+        framework's documented deviation, steps.py).
     """
     bceloss = nn.BCELoss()
     mseloss = nn.MSELoss()
@@ -373,14 +386,35 @@ def prototype_bank_iteration(
     proto_x_cup = pool(xs_feature, pred_oS[:, 0:1])
     proto_x_disc = pool(xs_feature, pred_oS[:, 1:2])
 
-    pred_oT = torch.sigmoid(oT_before)
-    bu_rect = torch.sigmoid(bT_before).clone()
+    if pseudo_model is not None:
+        pseudo_model.eval()
+        with torch.no_grad():
+            _, _, _, _, _, oT_pseudo, bT_pseudo = pseudo_model(image_t)
+        pred_oT = torch.sigmoid(oT_pseudo)
+        bu_soft = torch.sigmoid(bT_pseudo)
+    else:
+        pred_oT = torch.sigmoid(oT_before)
+        bu_soft = torch.sigmoid(bT_before)
+    cup_soft, disc_soft = pred_oT[:, 0:1], pred_oT[:, 1:]
+
+    def rectify_weight(feat, proto):
+        # per-pixel L2 distance to the bank vector, min-max normalized
+        # (Trainer_prototype.py:98-116; eps matches ops/prototypes._EPS)
+        d = torch.linalg.norm(feat - proto[None, :, None, None], dim=1, keepdim=True)
+        return (d - d.min()) / (d.max() - d.min() + 1e-12)
+
+    if use_weight_rectify:
+        cup_soft = cup_soft * rectify_weight(xt_feature, bank["cup"])
+        disc_soft = disc_soft * rectify_weight(xt_feature, bank["disc"])
+        bu_soft = bu_soft * rectify_weight(xt_bu_feature, bank["bu"])
+
+    bu_rect = bu_soft.clone()
     bu_rect[bu_rect > thr] = 1.0
     bu_rect[bu_rect <= thr] = 0.0
-    cup_rect = pred_oT[:, 0:1].clone()
+    cup_rect = cup_soft.clone()
     cup_rect[cup_rect > thr] = 1.0
     cup_rect[cup_rect <= thr] = 0.0
-    disc_rect = pred_oT[:, 1:].clone()
+    disc_rect = disc_soft.clone()
     disc_rect[disc_rect > thr] = 1.0
     disc_rect[disc_rect <= thr] = 0.0
     proto_y_bu = pool(xt_bu_feature, bu_rect)
