@@ -182,10 +182,15 @@ class Trainer:
                 state = state.replace(dis2_params=d)
         else:
             d, tag = os.path.split(path.rstrip("/"))
-            restored, _ = ckpt_lib.restore_checkpoint(d, tag, state)
+            restored, meta = ckpt_lib.restore_checkpoint(d, tag, state)
             state = state.replace(
                 gen_params=restored.gen_params, gen_stats=restored.gen_stats,
                 dis_params=restored.dis_params, dis2_params=restored.dis2_params,
+            )
+            print(
+                f"initial_resume: warm-started gen/dis/dis2 from {path} "
+                f"(epoch {meta.get('epoch')}, best_mean_dice "
+                f"{meta.get('best_mean_dice', 0.0):.4f})"
             )
         self.state = jax.device_put(state, self._replicated)
 
