@@ -120,9 +120,16 @@ def prototype_full_iteration(
     global_pro_weight: float = 0.9,
     adv_weight: float = 0.01,
     src_reg_weight: float | None = None,
+    use_entropy_d: bool = True,
 ):
     """One reference iteration past warmup (epoch > warmup_epoch). Returns
-    the scalar losses the JAX step reports in its metrics dict."""
+    the scalar losses the JAX step reports in its metrics dict.
+
+    ``use_entropy_d=False`` is the Trainer_posal configuration
+    (instruction-verified, PARITY.md §2.2): a SINGLE boundary
+    discriminator — the uncertainty/entropy D (``dis2`` here) never
+    forwards, never updates, and contributes no adversarial term.
+    """
     bceloss = nn.BCELoss()
     mseloss = nn.MSELoss()
     smooth = 1e-7
@@ -214,13 +221,14 @@ def prototype_full_iteration(
             out["loss_src_reg"] = src_reg.item()
 
     # adversarial generator term (reference :452-458)
-    unc_T = -1.0 * torch.sigmoid(oT) * torch.log(torch.sigmoid(oT) + smooth)
     D_out2 = dis(torch.sigmoid(boundaryT))
-    D_out1 = dis2(unc_T)
-    loss_adv = adv_weight * (
-        F.binary_cross_entropy_with_logits(D_out1, torch.ones_like(D_out1))
-        + F.binary_cross_entropy_with_logits(D_out2, torch.ones_like(D_out2))
-    )
+    adv_t = F.binary_cross_entropy_with_logits(D_out2, torch.ones_like(D_out2))
+    if use_entropy_d:
+        unc_T = -1.0 * torch.sigmoid(oT) * torch.log(torch.sigmoid(oT) + smooth)
+        D_out1 = dis2(unc_T)
+        adv_t = F.binary_cross_entropy_with_logits(
+            D_out1, torch.ones_like(D_out1)) + adv_t
+    loss_adv = adv_weight * adv_t
     out["loss_adv"] = loss_adv.item()
 
     loss_all = loss_seg + loss_adv
@@ -242,29 +250,37 @@ def prototype_full_iteration(
         p.requires_grad = False
 
     boundaryS_d, oS_d = boundaryS.detach(), oS.detach()
-    unc_S = -1.0 * torch.sigmoid(oS_d) * torch.log(torch.sigmoid(oS_d) + smooth)
     D_out2 = dis(torch.sigmoid(boundaryS_d))
-    D_out1 = dis2(unc_S)
-    loss_D_same1 = F.binary_cross_entropy_with_logits(D_out1, torch.ones_like(D_out1))
     loss_D_same2 = F.binary_cross_entropy_with_logits(D_out2, torch.ones_like(D_out2))
-    (loss_D_same1 + loss_D_same2).backward()
+    if use_entropy_d:
+        unc_S = -1.0 * torch.sigmoid(oS_d) * torch.log(torch.sigmoid(oS_d) + smooth)
+        D_out1 = dis2(unc_S)
+        loss_D_same1 = F.binary_cross_entropy_with_logits(D_out1, torch.ones_like(D_out1))
+        (loss_D_same1 + loss_D_same2).backward()
+    else:
+        loss_D_same2.backward()
 
     boundaryT_d, oT_d = boundaryT.detach(), oT.detach()
-    unc_T2 = -1.0 * torch.sigmoid(oT_d) * torch.log(torch.sigmoid(oT_d) + smooth)
     D_out2 = dis(torch.sigmoid(boundaryT_d))
-    D_out1 = dis2(unc_T2)
-    loss_D_diff1 = F.binary_cross_entropy_with_logits(D_out1, torch.zeros_like(D_out1))
     loss_D_diff2 = F.binary_cross_entropy_with_logits(D_out2, torch.zeros_like(D_out2))
-    (loss_D_diff1 + loss_D_diff2).backward()
+    if use_entropy_d:
+        unc_T2 = -1.0 * torch.sigmoid(oT_d) * torch.log(torch.sigmoid(oT_d) + smooth)
+        D_out1 = dis2(unc_T2)
+        loss_D_diff1 = F.binary_cross_entropy_with_logits(D_out1, torch.zeros_like(D_out1))
+        (loss_D_diff1 + loss_D_diff2).backward()
+    else:
+        loss_D_diff2.backward()
 
     opt_dis.step()
-    opt_dis2.step()
+    if use_entropy_d:
+        opt_dis2.step()
     for p in gen.parameters():
         p.requires_grad = True
 
     # the JAX step reports each D's combined same+diff loss
     out["loss_D"] = (loss_D_same2 + loss_D_diff2).item()
-    out["loss_D2"] = (loss_D_same1 + loss_D_diff1).item()
+    if use_entropy_d:
+        out["loss_D2"] = (loss_D_same1 + loss_D_diff1).item()
     return out
 
 

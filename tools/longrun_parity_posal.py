@@ -1,0 +1,176 @@
+"""Long-horizon training-dynamics parity for the bytecode-only
+``Trainer_posal`` reconstruction: adversarial UDA with a SINGLE boundary
+discriminator (``method='posal'`` = 'adversarial' with the entropy D
+forced off — steps.py:537, instruction-verified mapping in PARITY.md
+§2.2) vs the torch oracle
+(tests/torch_step_ref.py:prototype_full_iteration with use_pid=False,
+use_entropy_d=False) from identical converted weights over identical
+synthetic data.
+
+Exercises the single-D GAN chain over hundreds of Adam + SGD + BN-stat
+round-trips: the entropy discriminator must never forward, never update,
+and contribute no loss on either side. fp32, dropout off, production
+hyperparameters otherwise.
+
+Usage:
+  python tools/longrun_parity_posal.py --iters 100 --out docs/longrun_parity_posal.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 1)
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from tests.torch_step_ref import prototype_full_iteration, TorchBank
+from tools import _longrun_common as C
+from uda_clr_tpu.models import layers as layers_lib
+from uda_clr_tpu.train.state import create_train_state
+from uda_clr_tpu.train.steps import make_eval_step, make_train_step
+from uda_clr_tpu.utils.metrics import dice_coeff_2label
+
+KEYS = ("loss_all", "loss_seg", "loss_adv", "loss_D")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--iters", type=int, default=100)
+    p.add_argument("--size", type=int, default=64)
+    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--lr-gen", type=float, default=1e-3)
+    p.add_argument("--lr-dis", type=float, default=2.5e-5)
+    p.add_argument("--out", default="docs/longrun_parity_posal.csv")
+    p.add_argument("--n-data", type=int, default=24)
+    args = p.parse_args(argv)
+
+    layers_lib.set_dropout_impl("off")
+    B, SIZE = args.batch, args.size
+
+    tm, tdis, tdis2 = C.build_torch_side()
+    opt_gen = torch.optim.Adam(tm.parameters(), lr=args.lr_gen, betas=(0.9, 0.99))
+    opt_dis = torch.optim.SGD(tdis.parameters(), lr=args.lr_dis, momentum=0.99, weight_decay=5e-4)
+    opt_dis2 = torch.optim.SGD(tdis2.parameters(), lr=args.lr_dis, momentum=0.99, weight_decay=5e-4)
+    gen_params, gen_stats, dis_params, dis2_params = C.convert_to_jax(tm, tdis, tdis2)
+    dis2_before = [p.detach().clone() for p in tdis2.parameters()]
+
+    cfg = C.build_config(mc_samples=2)
+    cfg.method.method = "posal"
+    model = C.build_model()
+    state = create_train_state(model, jax.random.PRNGKey(0), (B, SIZE, SIZE, 3))
+    state = state.replace(
+        gen_params=jax.tree.map(jnp.asarray, gen_params),
+        gen_stats=jax.tree.map(jnp.asarray, gen_stats),
+        dis_params=jax.tree.map(jnp.asarray, dis_params),
+        dis2_params=jax.tree.map(jnp.asarray, dis2_params),
+    )
+    dis2_jax_before = jax.tree.map(np.asarray, state.dis2_params)
+    step = make_train_step(model, cfg, "posal", proto_phase=False)
+
+    loader_s, it_t = C.train_streams(SIZE, B, args.n_data)
+    ds_val = C.val_set(SIZE)
+
+    bank = TorchBank()  # unused (use_pid=False) but keeps the signature
+    rows = []
+    t0 = time.time()
+    epoch = 0
+    done = 0
+    while done < args.iters:
+        for batch_s in loader_s.epoch(epoch):
+            if done >= args.iters:
+                break
+            batch_t = next(it_t)
+            img_s, map_s = batch_s["image"], batch_s["map"]
+            bnd_s, img_t = batch_s["boundary"], batch_t["image"]
+
+            db = C.device_batch(batch_s, batch_t)
+            state, metrics = step(state, db, args.lr_gen, args.lr_dis, 30)
+            metrics.pop("_viz", None)
+            got = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            assert "loss_D2" not in got, "posal step must not run the entropy D"
+
+            want = prototype_full_iteration(
+                tm, tdis, tdis2, opt_gen, opt_dis, opt_dis2, bank,
+                C.to_nchw(img_s), C.to_nchw(map_s), C.to_nchw(bnd_s), C.to_nchw(img_t),
+                use_pid=False, use_entropy_d=False,
+            )
+
+            row = {"iter": done}
+            for k in KEYS:
+                row[f"jax_{k}"] = got.get(k, float("nan"))
+                row[f"torch_{k}"] = want.get(k, float("nan"))
+            rows.append(row)
+            if done % 10 == 0:
+                print(
+                    f"[{done}/{args.iters}] jax loss_all {row['jax_loss_all']:.4f} "
+                    f"torch {row['torch_loss_all']:.4f}  loss_D jax "
+                    f"{row['jax_loss_D']:.5f} torch {row['torch_loss_D']:.5f} "
+                    f"({time.time()-t0:.0f}s)",
+                    flush=True,
+                )
+            done += 1
+        epoch += 1
+
+    # the entropy D must be bit-frozen on BOTH sides after the whole run
+    for a, b in zip(dis2_before, tdis2.parameters()):
+        assert torch.equal(a, b), "torch dis2 moved in a posal run"
+    for pa, pb in zip(
+        jax.tree.leaves(dis2_jax_before), jax.tree.leaves(jax.tree.map(np.asarray, state.dis2_params))
+    ):
+        np.testing.assert_array_equal(pa, pb, err_msg="jax dis2 moved in a posal run")
+    print("entropy D verified bit-frozen on both frameworks")
+
+    eval_step = make_eval_step(model)
+    jax_dice = C.jax_val_dice(eval_step, state, ds_val)
+
+    from uda_clr_tpu.data.pipeline import BatchLoader
+
+    def torch_dice(m):
+        m.eval()
+        td = []
+        with torch.no_grad():
+            for batch in BatchLoader(ds_val, 4, shuffle=False, drop_last=False, num_workers=1).epoch(0):
+                to = m(C.to_nchw(batch["image"]))[0].numpy().transpose(0, 2, 3, 1)
+                td.append(dice_coeff_2label(to, batch["map"]))
+        return np.mean(np.array(td), axis=0)
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+
+    def series(k, fw):
+        return np.array([r[f"{fw}_{k}"] for r in rows])
+
+    def smooth(x, w=10):
+        return np.convolve(x, np.ones(w) / w, mode="valid") if len(x) >= w else x
+
+    print(f"\nwrote {args.out} ({len(rows)} iterations, {time.time()-t0:.0f}s)")
+    print(f"val Dice (cup, disc): jax {tuple(np.round(jax_dice, 4))} "
+          f"torch {tuple(np.round(torch_dice(tm), 4))}")
+    for k in KEYS:
+        a, b = series(k, "jax"), series(k, "torch")
+        sa, sb = smooth(a), smooth(b)
+        rel = np.abs(sa - sb) / np.maximum(np.abs(sb), 1e-3)
+        print(
+            f"{k:10s} smoothed rel diff: mean {np.mean(rel):.4f} max {np.max(rel):.4f}   "
+            f"range jax [{a.min():.4f},{a.max():.4f}] torch [{b.min():.4f},{b.max():.4f}]"
+        )
+
+
+if __name__ == "__main__":
+    main()
