@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--windows", type=int, default=3)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialized backbone (cfg.model.remat): frees "
+                         "HBM for larger batches at ~1 backbone fwd of FLOPs")
     args = ap.parse_args()
 
     from uda_clr_tpu.config import Config
@@ -60,7 +63,7 @@ def main():
     mesh = get_mesh((1,))
     sh = batch_sharding(mesh)
     model = DeepLab(num_classes=2, backbone="mobilenet", output_stride=16,
-                    norm="bn", dtype=jnp.bfloat16)
+                    norm="bn", dtype=jnp.bfloat16, remat=args.remat)
     rows = []
     for batch in [int(b) for b in args.batches.split(",")]:
         try:
@@ -75,7 +78,8 @@ def main():
             print(f"# B{batch}: FAILED: {msg[:160]}", file=sys.stderr, flush=True)
 
     print(json.dumps({"metric": f"prototype_full batch scaling ({size}x{size}, "
-                                "T=8 MC, bf16)",
+                                "T=8 MC, bf16"
+                                + (", remat" if args.remat else "") + ")",
                       "rows": rows, "device_kind": jax.devices()[0].device_kind}))
 
 

@@ -22,6 +22,10 @@ class ModelConfig:
     output_stride: int = 16
     norm: str = "bn"  # 'bn' (plain / cross-replica) | 'tn' (TransNorm, --use_TN)
     compute_dtype: str = "float32"  # 'bfloat16' for TPU speed
+    # rematerialize backbone blocks (jax.checkpoint): trades ~1 extra
+    # backbone forward of FLOPs for HBM, admitting larger per-chip batches
+    # (B32 at 512^2 OOMs without it — PARITY.md "Batch-size scaling")
+    remat: bool = False
 
 
 @dataclass

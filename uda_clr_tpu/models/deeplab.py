@@ -47,21 +47,25 @@ class DeepLabOutputs(NamedTuple):
     boundary_before: jnp.ndarray
 
 
-def _build_backbone(backbone: str, output_stride: int, norm: str, dtype: Any):
+def _build_backbone(backbone: str, output_stride: int, norm: str, dtype: Any,
+                    remat: bool = False):
     if backbone == "mobilenet":
-        return MobileNetV2(output_stride=output_stride, norm=norm, dtype=dtype, name="backbone")
+        return MobileNetV2(output_stride=output_stride, norm=norm, dtype=dtype,
+                           remat=remat, name="backbone")
     if backbone == "resnet":
         from uda_clr_tpu.models.resnet import ResNet101
 
-        return ResNet101(output_stride=output_stride, norm=norm, dtype=dtype, name="backbone")
+        return ResNet101(output_stride=output_stride, norm=norm, dtype=dtype,
+                         remat=remat, name="backbone")
     if backbone == "xception":
         from uda_clr_tpu.models.xception import AlignedXception
 
-        return AlignedXception(output_stride=output_stride, norm=norm, dtype=dtype, name="backbone")
+        return AlignedXception(output_stride=output_stride, norm=norm, dtype=dtype,
+                               remat=remat, name="backbone")
     if backbone == "drn":
         from uda_clr_tpu.models.drn import DRN_D_54
 
-        return DRN_D_54(norm=norm, dtype=dtype, name="backbone")
+        return DRN_D_54(norm=norm, dtype=dtype, remat=remat, name="backbone")
     raise NotImplementedError(f"backbone {backbone!r}")
 
 
@@ -71,11 +75,16 @@ class DeepLab(nn.Module):
     output_stride: int = 16
     norm: str = "bn"  # 'bn' | 'tn'
     dtype: Any = jnp.float32
+    # rematerialize backbone blocks (jax.checkpoint) — trades backbone
+    # recompute for HBM, admitting larger per-chip batches; numerics are
+    # bit-identical (tests/test_remat.py, PARITY.md "Batch-size scaling")
+    remat: bool = False
 
     def setup(self):
         output_stride = 8 if self.backbone == "drn" else self.output_stride
         self._os = output_stride
-        self.backbone_net = _build_backbone(self.backbone, output_stride, self.norm, self.dtype)
+        self.backbone_net = _build_backbone(self.backbone, output_stride, self.norm,
+                                            self.dtype, self.remat)
         self.aspp = ASPP(output_stride=output_stride, norm=self.norm, dtype=self.dtype)
         self.decoder = Decoder(
             num_classes=self.num_classes,

@@ -51,9 +51,14 @@ class _Bottleneck(nn.Module):
 class DRN_D_54(nn.Module):
     norm: str = "bn"
     dtype: Any = jnp.float32
+    remat: bool = False  # per-block jax.checkpoint (see MobileNetV2.remat)
 
     @nn.compact
     def __call__(self, x, train: bool, domains: int = 1):
+        block_cls = (
+            nn.remat(_Bottleneck, static_argnums=(2, 3))
+            if self.remat else _Bottleneck
+        )
         channels = (16, 32, 64, 128, 256, 512, 512, 512)
         layers = (1, 1, 3, 4, 6, 3, 1, 1)
         nrm = lambda f, name: DomainNorm2d(f, self.norm, dtype=self.dtype, name=name)
@@ -70,8 +75,8 @@ class DRN_D_54(nn.Module):
                 s = stride if i == 0 else 1
                 d = dil_pair if i == 0 else (dil_pair[1], dil_pair[1])
                 down = i == 0 and (stride != 1 or in_ch != planes * 4)
-                h = _Bottleneck(planes, s, d, down, self.norm, self.dtype,
-                                name=f"{name}_{i}")(h, train, domains)
+                h = block_cls(planes, s, d, down, self.norm, self.dtype,
+                              name=f"{name}_{i}")(h, train, domains)
                 in_ch = planes * 4
             return h
 

@@ -89,14 +89,26 @@ def mobilenet_block_plan(output_stride: int = 16):
 
 
 class MobileNetV2(nn.Module):
-    """Returns (high_level [B,H/os,W/os,320], low_level [B,H/4,W/4,24])."""
+    """Returns (high_level [B,H/os,W/os,320], low_level [B,H/4,W/4,24]).
+
+    ``remat=True`` wraps every inverted-residual block in ``nn.remat``
+    (jax.checkpoint): only the inter-block activations are saved for the
+    backward pass and the intra-block ones are recomputed — the TPU
+    HBM/FLOP tradeoff that admits larger per-chip batches. Parameter
+    tree, outputs and batch-stat updates are bit-identical; gradients
+    agree to fp32-reassociation level (tests/test_remat.py)."""
 
     output_stride: int = 16
     norm: str = "bn"
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool, domains: int = 1):
+        block_cls = (
+            nn.remat(InvertedResidual, static_argnums=(2, 3))
+            if self.remat else InvertedResidual
+        )
         h = Conv2d(32, 3, 2, 1, use_bias=False, dtype=self.dtype, name="stem")(x)
         h = DomainNorm2d(32, self.norm, dtype=self.dtype, name="stem_bn")(h, train, domains)
         h = relu6(h)
@@ -104,7 +116,7 @@ class MobileNetV2(nn.Module):
         for idx, (cin, cout, stride, dilation, t) in enumerate(
             mobilenet_block_plan(self.output_stride)
         ):
-            h = InvertedResidual(
+            h = block_cls(
                 cin, cout, stride, dilation, t,
                 norm=self.norm, dtype=self.dtype, name=f"block_{idx}",
             )(h, train, domains)

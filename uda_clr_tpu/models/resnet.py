@@ -55,9 +55,14 @@ class ResNet101(nn.Module):
     output_stride: int = 16
     norm: str = "bn"
     dtype: Any = jnp.float32
+    remat: bool = False  # per-block jax.checkpoint (see MobileNetV2.remat)
 
     @nn.compact
     def __call__(self, x, train: bool, domains: int = 1):
+        block_cls = (
+            nn.remat(Bottleneck, static_argnums=(2, 3))
+            if self.remat else Bottleneck
+        )
         if self.output_stride == 16:
             strides, dilations = (1, 2, 2, 1), (1, 1, 1, 2)
         elif self.output_stride == 8:
@@ -76,8 +81,8 @@ class ResNet101(nn.Module):
                 s = stride if i == 0 else 1
                 d = rates[i] * dilation
                 down = i == 0 and (stride != 1 or in_ch != planes * 4)
-                h = Bottleneck(planes, s, d, down, self.norm, self.dtype,
-                               name=f"{name}_{i}")(h, train, domains)
+                h = block_cls(planes, s, d, down, self.norm, self.dtype,
+                              name=f"{name}_{i}")(h, train, domains)
             return h
 
         h = stage(h, "layer1", 64, 3, strides[0], dilations[0], 64)

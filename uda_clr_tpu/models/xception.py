@@ -111,9 +111,14 @@ class AlignedXception(nn.Module):
     output_stride: int = 16
     norm: str = "bn"
     dtype: Any = jnp.float32
+    remat: bool = False  # per-block jax.checkpoint (see MobileNetV2.remat)
 
     @nn.compact
     def __call__(self, x, train: bool, domains: int = 1):
+        block_cls = (
+            nn.remat(XceptionBlock, static_argnums=(2, 3))
+            if self.remat else XceptionBlock
+        )
         if self.output_stride == 16:
             entry3_stride, mid_dil, exit_dils = 2, 1, (1, 2)
         elif self.output_stride == 8:
@@ -127,18 +132,18 @@ class AlignedXception(nn.Module):
         h = Conv2d(64, 3, 1, 1, use_bias=False, dtype=self.dtype, name="conv2")(h)
         h = nn.relu(nrm(64, "bn2")(h, train, domains))
 
-        h = XceptionBlock(64, 128, 2, 2, 1, False, True, False, self.norm, self.dtype,
+        h = block_cls(64, 128, 2, 2, 1, False, True, False, self.norm, self.dtype,
                           name="block1")(h, train, domains)
         h = nn.relu(h)
         low_level = h  # 128ch @ 1/4
-        h = XceptionBlock(128, 256, 2, 2, 1, False, True, False, self.norm, self.dtype,
+        h = block_cls(128, 256, 2, 2, 1, False, True, False, self.norm, self.dtype,
                           name="block2")(h, train, domains)
-        h = XceptionBlock(256, 728, 2, entry3_stride, 1, True, True, True, self.norm,
+        h = block_cls(256, 728, 2, entry3_stride, 1, True, True, True, self.norm,
                           self.dtype, name="block3")(h, train, domains)
         for i in range(4, 20):
-            h = XceptionBlock(728, 728, 3, 1, mid_dil, True, True, False, self.norm,
+            h = block_cls(728, 728, 3, 1, mid_dil, True, True, False, self.norm,
                               self.dtype, name=f"block{i}")(h, train, domains)
-        h = XceptionBlock(728, 1024, 2, 1, exit_dils[0], True, False, True, self.norm,
+        h = block_cls(728, 1024, 2, 1, exit_dils[0], True, False, True, self.norm,
                           self.dtype, name="block20")(h, train, domains)
         h = nn.relu(h)
         h = SeparableConv2d(1024, 1536, 1, exit_dils[1], self.norm, self.dtype,

@@ -98,6 +98,7 @@ class Trainer:
             output_stride=cfg.model.output_stride,
             norm=cfg.model.norm,
             dtype=dtype,
+            remat=cfg.model.remat,
         )
         state = create_train_state(
             self.model,
