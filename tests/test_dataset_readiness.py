@@ -93,6 +93,21 @@ def test_validator_catches_missing_masks(tmp_path):
     assert "1/2" in str(ei.value) and "sample_001.png" in str(ei.value)
 
 
+def test_image_component_in_data_root(tmp_path):
+    """A data root (or dataset name) containing an 'image'/'mask' path
+    component must not confuse the image→mask mapping — the reference's
+    global ``path.replace('image','mask')`` (fundus_dataloader.py:40)
+    rewrites the root too; ours joins the sibling mask dir with the
+    basename."""
+    root = tmp_path / "image" / "fundus"
+    _make_layout(root, n=2)
+    paths = validate_layout(str(root), "refuge", "train")
+    assert len(paths) == 2
+    ds = FundusSegmentation(str(root), "refuge", "train")
+    assert len(ds) == 2
+    assert ds[1]["label"].mode == "L"
+
+
 def test_initial_resume_from_pth_tar_file(tmp_path):
     """Save a reference-format training checkpoint (full torch state_dicts
     incl. num_batches_tracked, as train_use_fix_initial.py:276-289 writes

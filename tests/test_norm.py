@@ -102,6 +102,25 @@ def test_transnorm_train_matches_numpy_oracle():
     np.testing.assert_allclose(stats["var_source"], 0.9 + 0.1 * vu_s, rtol=1e-4, atol=1e-5)
 
 
+def test_transnorm_train_odd_batch_uneven_halves():
+    """Odd train batch: the reference's b//2 split is uneven (x[:b] source,
+    x[b:] target — batchnorm.py:439-442); the NumPy oracle slices the same
+    way, so it pins the fallback path exactly."""
+    rng = np.random.default_rng(9)
+    x = np.concatenate(
+        [rng.standard_normal((2, 3, 3, 4)), 1.5 + rng.standard_normal((3, 3, 3, 4))], 0
+    ).astype(np.float32)
+    got, stats = _init_and_apply("tn", x, train=True)
+    want, oracle_stats = _numpy_transnorm_train(x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    mu_s, vu_s = oracle_stats["s"]
+    mu_t, vu_t = oracle_stats["t"]
+    np.testing.assert_allclose(stats["mean_source"], 0.1 * mu_s, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(stats["var_source"], 0.9 + 0.1 * vu_s, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(stats["mean_target"], 0.1 * mu_t, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(stats["var_target"], 0.9 + 0.1 * vu_t, rtol=1e-4, atol=1e-5)
+
+
 def test_transnorm_eval_uses_target_stats():
     rng = np.random.default_rng(4)
     x = rng.standard_normal((2, 3, 3, 4)).astype(np.float32)

@@ -72,8 +72,9 @@ def main():
                                  make_train_step))
         except Exception as e:  # e.g. HBM OOM at large batches — report, keep going
             msg = str(e)
-            if "hbm" in msg.lower():
-                msg = msg[msg.lower().find("ran out of memory"):][:120] or msg[:120]
+            cut = msg.lower().find("ran out of memory")
+            if cut >= 0:
+                msg = msg[cut:]
             rows.append({"batch": batch, "error": msg[:160]})
             print(f"# B{batch}: FAILED: {msg[:160]}", file=sys.stderr, flush=True)
 

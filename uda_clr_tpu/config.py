@@ -73,7 +73,8 @@ class MethodConfig:
     pro_weight: float = 0.1
     global_pro_weight: float = 0.9
     mc_samples: int = 8  # T
-    mc_fast: bool = True  # share one backbone pass across MC samples ('bn' norm only)
+    mc_fast: bool = True  # share one backbone pass across MC samples (bn: inlined
+    # into the S||T forward; tn: via the identical-halves degenerate prefix)
     std_threshold: float = 0.04
     pseudo_threshold: float = 0.75
     rng_impl: str = "unsafe_rbg"  # dropout-bit PRNG: threefry2x32 | rbg | unsafe_rbg

@@ -8,10 +8,11 @@ uda_clr_tpu.data.pipeline.
 
 ★ deviations: (1) the layout is validated fail-fast with a diagnostic
 naming the first missing path level (the reference raises a bare glob
-miss only when indexing); (2) the image→mask path substitution replaces
-the ``/image/`` directory component only — the reference's
-``path.replace('image','mask')`` (fundus_dataloader.py:40) would also
-rewrite a filename that happens to contain "image".
+miss only when indexing); (2) the image→mask path mapping joins the
+sibling ``ROIs/mask`` directory with the image's basename — the
+reference's ``path.replace('image','mask')`` (fundus_dataloader.py:40)
+rewrites EVERY occurrence of "image", including a data root or filename
+that happens to contain it.
 """
 
 from __future__ import annotations
@@ -21,6 +22,14 @@ from glob import glob
 
 import numpy as np
 from PIL import Image
+
+
+def _mask_path(image_path: str) -> str:
+    """Same-named label in the sibling ``ROIs/mask`` directory (immune to
+    'image' appearing elsewhere in the tree, unlike the reference's global
+    str.replace — fundus_dataloader.py:40)."""
+    return os.path.join(os.path.dirname(os.path.dirname(image_path)),
+                        "mask", os.path.basename(image_path))
 
 
 def validate_layout(base_dir: str, dataset: str, split: str) -> list[str]:
@@ -73,9 +82,7 @@ def validate_layout(base_dir: str, dataset: str, split: str) -> list[str]:
             f"{mask_dir!r} is missing; {os.path.dirname(mask_dir)!r} contains: "
             f"{_listing(os.path.dirname(mask_dir))}"
         )
-    missing = [p for p in image_paths
-               if not os.path.exists(p.replace(os.sep + "image" + os.sep,
-                                               os.sep + "mask" + os.sep))]
+    missing = [p for p in image_paths if not os.path.exists(_mask_path(p))]
     if missing:
         raise FileNotFoundError(
             f"dataset layout error: {len(missing)}/{len(image_paths)} images "
@@ -98,8 +105,7 @@ class FundusSegmentation:
         self.label_pool: list[Image.Image] = []
         self.img_name_pool: list[str] = []
         for image_path in image_paths:
-            gt_path = image_path.replace(os.sep + "image" + os.sep,
-                                         os.sep + "mask" + os.sep)
+            gt_path = _mask_path(image_path)
             self.image_pool.append(Image.open(image_path).convert("RGB"))
             target = Image.open(gt_path)
             if target.mode == "RGB":

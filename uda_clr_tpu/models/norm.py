@@ -131,6 +131,35 @@ class DomainNorm2d(nn.Module):
                 # writes running stats (the MC pass is stat-isolated).
                 mu, v, _ = _batch_moments(x)
                 return _normalize(x, mu, v, scale * 2.0, bias * 2.0, self.eps)
+            if train and x.shape[0] % 2:
+                # Odd batch (API edge; every shipped train flow feeds even
+                # [S;T]/[T;T] batches): the reference's b//2 split is
+                # UNEVEN — x[:b] source, x[b:] target (batchnorm.py:439-442)
+                # — so reproduce it with the slice form and per-half
+                # unbiased factors. Perf is irrelevant off the hot path.
+                b = x.shape[0] // 2
+                mu_sb, v_sb, n_s = _batch_moments(x[:b])
+                mu_tb, v_tb, n_t = _batch_moments(x[b:])
+                ub_s = n_s / max(n_s - 1, 1)
+                ub_t = n_t / max(n_t - 1, 1)
+                if writable:
+                    mean_s.value = ema(mean_s.value, mu_sb)
+                    var_s.value = ema(var_s.value, v_sb * ub_s)
+                    mean_t.value = ema(mean_t.value, mu_tb)
+                    var_t.value = ema(var_t.value, v_tb * ub_t)
+                dis = jnp.abs(
+                    mu_sb * jax.lax.rsqrt(v_sb * ub_s + self.eps)
+                    - mu_tb * jax.lax.rsqrt(v_tb * ub_t + self.eps)
+                )
+                prob = 1.0 / (1.0 + dis)
+                a1 = jax.lax.stop_gradient(1.0 + f * prob / jnp.sum(prob))
+                return jnp.concatenate(
+                    [
+                        _normalize(x[:b], mu_sb, v_sb, scale * a1, bias * a1, self.eps),
+                        _normalize(x[b:], mu_tb, v_tb, scale * a1, bias * a1, self.eps),
+                    ],
+                    axis=0,
+                )
             if train:
                 # TransNorm always splits the batch in half, source first
                 # (batchnorm.py:439-442), regardless of `domains`.
