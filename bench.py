@@ -48,7 +48,11 @@ def main():
     # production plain-BN path the headline number tracks.
     norm = os.environ.get("UDA_BENCH_NORM", "bn")
 
-    size, batch = 512, 8
+    # UDA_BENCH_SIZE/UDA_BENCH_BATCH exist ONLY so the full script can be
+    # smoke-tested at toy shapes on the CPU backend; the driver runs the
+    # defaults (the reference's production 512x512 / B8 config).
+    size = int(os.environ.get("UDA_BENCH_SIZE", "512"))
+    batch = int(os.environ.get("UDA_BENCH_BATCH", "8"))
     cfg = Config()
     cfg.model.compute_dtype = "bfloat16"
     cfg.model.norm = norm
@@ -153,59 +157,27 @@ def main():
     # (train_use_fix_initial.py:170-177).
     host_fed = None
     try:
-        from uda_clr_tpu.data import BatchLoader, SyntheticFundus, train_transforms
+        from uda_clr_tpu.data import SyntheticFundus, train_transforms
+        from uda_clr_tpu.utils import hostfeed
 
         # pure H2D transfer of one step batch, measured BEFORE any loader
         # exists (prefetch threads competing for this box's single core
         # would otherwise inflate it)
         one = {k: np.asarray(jax.device_get(v)) for k, v in data.items()}
-        nbytes = sum(v.nbytes for v in one.values())
-        t0 = time.time()
-        loads = 6
-        for _ in range(loads):
-            d = {k: jax.device_put(v, sh) for k, v in one.items()}
-            # fetch barrier depending on EVERY transferred array (relay-safe)
-            float(sum(jnp.sum(v[0, 0, 0]) for v in d.values()))
-        h2d_ms = (time.time() - t0) / loads * 1000.0
+        h2d_ms, nbytes = hostfeed.h2d_probe(one, sh)
 
         workers = min(2, os.cpu_count() or 1)
         ds_s = SyntheticFundus(n=16, size=size + 32, transform=train_transforms(size))
         ds_t = SyntheticFundus(n=16, size=size + 32, transform=train_transforms(size), seed=1)
-        loader_s = BatchLoader(ds_s, batch_size=batch, num_workers=workers, prefetch=2)
-        loader_t = BatchLoader(ds_t, batch_size=batch, num_workers=workers, prefetch=2)
 
-        def hf_batches():
-            ep = 0
-            while True:
-                for bs, bt in zip(loader_s.epoch(ep), loader_t.epoch(ep + 1000)):
-                    yield {
-                        "image_s": jax.device_put(bs["image"], sh),
-                        "map_s": jax.device_put(bs["map"], sh),
-                        "boundary_s": jax.device_put(bs["boundary"], sh),
-                        "image_t": jax.device_put(bt["image"], sh),
-                    }
-                ep += 1
-
-        gen = hf_batches()
-        # warmup: thread spinup + first prefetch fill
-        state, metrics = step(state, next(gen), 1e-3, 2.5e-5, 30)
-        float(metrics["loss_all"])
         hf_steps = 12
-        t0 = time.time()
-        for _ in range(hf_steps):
-            state, metrics = step(state, next(gen), 1e-3, 2.5e-5, 30)
-        float(metrics["loss_all"])
-        hf_ms = (time.time() - t0) / hf_steps * 1000.0
+        gen = hostfeed.paired_batches(ds_s, ds_t, batch, workers)
+        hf_ms, state = hostfeed.host_fed_window(step, state, gen, sh, hf_steps)
         # pure loader pulls (host augmentation+collation, no device work);
         # with the h2d number above this decomposes the host-fed step — on
         # this tunneled-relay box the ~75 MB/step device_put dominates,
         # production PCIe hosts move it in ~10 ms
-        t0 = time.time()
-        loads = 0
-        for ep in (7, 8, 9):
-            for bs, bt in zip(loader_s.epoch(ep), loader_t.epoch(ep + 1000)):
-                loads += 1
-        load_ms = (time.time() - t0) / loads * 1000.0
+        load_ms = hostfeed.pure_load_ms(gen, hf_steps)
         host_fed = {
             "step_ms": round(hf_ms, 1),
             "img_per_sec_chip": round(batch / (hf_ms / 1e3) / n_data, 2),
@@ -223,7 +195,7 @@ def main():
 
     ips_per_chip = batch / (med_ms / 1e3) / n_data
     result = {
-        "metric": "prototype_full train throughput (512x512, B8, T=8 MC, bf16"
+        "metric": f"prototype_full train throughput ({size}x{size}, B{batch}, T=8 MC, bf16"
         + (", TransNorm)" if norm == "tn" else ")"),
         "value": round(ips_per_chip, 2),
         "unit": "images/sec/chip",

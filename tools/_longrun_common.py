@@ -1,5 +1,5 @@
 """Shared harness for the long-horizon training-dynamics tools
-(tools/longrun_parity.py and tools/longrun_chaos_control.py).
+(tools/longrun_parity*.py and tools/longrun_chaos_control.py).
 
 Both tools must train THE SAME setup — identical torch-initialized
 converted weights (incl. the logit-spread trick on the mask head, see
@@ -10,6 +10,9 @@ construction keeps that alignment true by construction.
 """
 
 from __future__ import annotations
+
+import csv
+import os
 
 import jax
 import jax.numpy as jnp
@@ -104,6 +107,56 @@ def device_batch(batch_s, batch_t):
         "boundary_s": jnp.asarray(batch_s["boundary"]),
         "image_t": jnp.asarray(batch_t["image"]),
     }
+
+
+def torch_val_dice(m, ds_val) -> np.ndarray:
+    """Held-out (cup, disc) Dice of a torch model through its eval path
+    (restores the model's previous train/eval mode)."""
+    was_training = m.training
+    m.eval()
+    td = []
+    with torch.no_grad():
+        for batch in BatchLoader(ds_val, 4, shuffle=False, drop_last=False,
+                                 num_workers=1).epoch(0):
+            to = m(to_nchw(batch["image"]))[0].numpy().transpose(0, 2, 3, 1)
+            td.append(dice_coeff_2label(to, batch["map"]))
+    if was_training:
+        m.train()
+    return np.mean(np.array(td), axis=0)
+
+
+def write_rows_csv(path: str, rows: list[dict]) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+
+
+def series(rows: list[dict], k: str, fw: str) -> np.ndarray:
+    return np.array([r[f"{fw}_{k}"] for r in rows])
+
+
+def smooth(x: np.ndarray, w: int = 10) -> np.ndarray:
+    return np.convolve(x, np.ones(w) / w, mode="valid") if len(x) >= w else x
+
+
+def print_rel_diff_summary(rows: list[dict], keys, width: int = 12) -> None:
+    """Per-key smoothed JAX-vs-torch relative divergence — the number every
+    PARITY.md chaos-band comparison quotes; one implementation so the
+    family's parity reports stay comparable."""
+    for k in keys:
+        a, b = series(rows, k, "jax"), series(rows, k, "torch")
+        if np.all(np.isnan(a)):
+            continue
+        sa, sb = smooth(a), smooth(b)
+        rel = np.abs(sa - sb) / np.maximum(np.abs(sb), 1e-3)
+        print(
+            f"{k:{width}s} smoothed rel diff: mean {np.mean(rel):.4f} "
+            f"max {np.max(rel):.4f}   "
+            f"range jax [{a.min():.4f},{a.max():.4f}] "
+            f"torch [{b.min():.4f},{b.max():.4f}]"
+        )
 
 
 def jax_val_dice(eval_step, state, ds_val) -> np.ndarray:

@@ -44,12 +44,13 @@ def main():
     args = ap.parse_args()
 
     from uda_clr_tpu.config import Config
-    from uda_clr_tpu.data import BatchLoader, SyntheticFundus, train_transforms
+    from uda_clr_tpu.data import SyntheticFundus, train_transforms
     from uda_clr_tpu.models.deeplab import DeepLab
     from uda_clr_tpu.models.layers import set_dropout_impl
     from uda_clr_tpu.parallel.mesh import batch_sharding, get_mesh, replicated_sharding
     from uda_clr_tpu.train.state import create_train_state
     from uda_clr_tpu.train.steps import make_train_step
+    from uda_clr_tpu.utils import hostfeed
 
     set_dropout_impl(os.environ.get("UDA_DROPOUT_IMPL", "xla16"))
     size, batch = args.size, args.batch
@@ -76,25 +77,10 @@ def main():
     ds_s = SyntheticFundus(n=args.n_data, size=size + 32, transform=train_transforms(size))
     ds_t = SyntheticFundus(n=args.n_data, size=size + 32, transform=train_transforms(size), seed=1)
 
-    def device_batch(bs, bt):
-        return {
-            "image_s": jax.device_put(bs["image"], sh),
-            "map_s": jax.device_put(bs["map"], sh),
-            "boundary_s": jax.device_put(bs["boundary"], sh),
-            "image_t": jax.device_put(bt["image"], sh),
-        }
-
-    def batches(workers, epochs=100):
-        loader_s = BatchLoader(ds_s, batch_size=batch, num_workers=workers, prefetch=2)
-        loader_t = BatchLoader(ds_t, batch_size=batch, num_workers=workers, prefetch=2)
-        for ep in range(epochs):
-            for bs, bt in zip(loader_s.epoch(ep), loader_t.epoch(ep + 1000)):
-                yield bs, bt
-
     # ---- compile + warmup on one real batch
-    gen = batches(2)
+    gen = hostfeed.paired_batches(ds_s, ds_t, batch, workers=2)
     bs, bt = next(gen)
-    db = device_batch(bs, bt)
+    db = hostfeed.device_batch(bs, bt, sh)
     t0 = time.time()
     state, metrics = step(state, db, 1e-3, 2.5e-5, 30)
     float(metrics["loss_all"])  # the relay's only sound barrier (CLAUDE.md)
@@ -116,36 +102,18 @@ def main():
     # ---- pure H2D transfer cost of one step's batch through this box's
     # tunneled relay (the device_put path production PCIe does in ~10 ms)
     one = {k: np.asarray(jax.device_get(v)) for k, v in db.items()}
-    nbytes = sum(v.nbytes for v in one.values())
-    t0 = time.time()
-    for _ in range(6):
-        d = {k: jax.device_put(v, sh) for k, v in one.items()}
-        # fetch barrier depending on EVERY transferred array (relay-safe)
-        float(sum(jnp.sum(v[0, 0, 0]) for v in d.values()))
-    h2d_ms = (time.time() - t0) / 6 * 1000.0
+    h2d_ms, nbytes = hostfeed.h2d_probe(one, sh)
     print(f"# pure H2D: {h2d_ms:.1f} ms for {nbytes/1e6:.1f} MB "
           f"({nbytes/1e6/(h2d_ms/1e3):.0f} MB/s)", file=sys.stderr, flush=True)
 
     # ---- host-fed windows, one per worker count (+ a pure-loader row)
     rows = []
     for workers in [int(w) for w in args.workers.split(",")]:
-        gen = batches(workers)
-        # loader warmup (thread spinup + first prefetch fill)
-        bs, bt = next(gen)
-        state, metrics = step(state, device_batch(bs, bt), 1e-3, 2.5e-5, 30)
-        float(metrics["loss_all"])
-        t0 = time.time()
-        for _ in range(args.steps):
-            bs, bt = next(gen)
-            state, metrics = step(state, device_batch(bs, bt), 1e-3, 2.5e-5, 30)
-        float(metrics["loss_all"])
-        ms = (time.time() - t0) / args.steps * 1000.0
+        gen = hostfeed.paired_batches(ds_s, ds_t, batch, workers)
+        ms, state = hostfeed.host_fed_window(step, state, gen, sh, args.steps)
         ips = batch / (ms / 1e3) / n_data
         # pure loader throughput at this worker count (no device work)
-        t0 = time.time()
-        for _ in range(args.steps):
-            next(gen)
-        load_ms = (time.time() - t0) / args.steps * 1000.0
+        load_ms = hostfeed.pure_load_ms(gen, args.steps)
         rows.append({"workers": workers, "step_ms": round(ms, 1),
                      "img_per_sec_chip": round(ips, 2),
                      "device_fraction": round(prestaged_ms / ms, 3),

@@ -23,7 +23,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import csv
 import os
 import sys
 import time
@@ -45,7 +44,6 @@ from tools import _longrun_common as C
 from uda_clr_tpu.models import layers as layers_lib
 from uda_clr_tpu.train.state import create_train_state
 from uda_clr_tpu.train.steps import make_eval_step, make_train_step
-from uda_clr_tpu.utils.metrics import dice_coeff_2label
 
 KEYS = ("loss_all", "loss_seg", "loss_intra", "loss_adv", "loss_D", "loss_D2")
 
@@ -131,48 +129,15 @@ def main(argv=None):
     # ---- held-out val Dice, each framework through its own eval path ----
     eval_step = make_eval_step(model)
     jax_dice = C.jax_val_dice(eval_step, state, ds_val)
-    tm.eval()
-    td = []
-    with torch.no_grad():
-        from uda_clr_tpu.data.pipeline import BatchLoader
 
-        for batch in BatchLoader(ds_val, 4, shuffle=False, drop_last=False, num_workers=1).epoch(0):
-            to = tm(C.to_nchw(batch["image"]))[0].numpy().transpose(0, 2, 3, 1)
-            td.append(dice_coeff_2label(to, batch["map"]))
-    torch_dice = np.mean(np.array(td), axis=0)
-
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    with open(args.out, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
-        w.writeheader()
-        w.writerows(rows)
-
-    # ---- summary ----
-    def series(k, fw):
-        return np.array([r[f"{fw}_{k}"] for r in rows])
-
-    def smooth(x, w=10):
-        if len(x) < w:
-            return x
-        return np.convolve(x, np.ones(w) / w, mode="valid")
-
+    C.write_rows_csv(args.out, rows)
     print(f"\nwrote {args.out} ({len(rows)} iterations, {time.time()-t0:.0f}s)")
     print(f"val Dice (cup, disc): jax {tuple(np.round(jax_dice,4))} "
-          f"torch {tuple(np.round(torch_dice,4))}")
-    for k in KEYS:
-        a, b = series(k, "jax"), series(k, "torch")
-        if np.all(np.isnan(a)):
-            continue
-        sa, sb = smooth(a), smooth(b)
-        denom = np.maximum(np.abs(sb), 1e-3)
-        rel = np.abs(sa - sb) / denom
-        print(
-            f"{k:12s} smoothed rel diff: mean {np.mean(rel):.4f} max {np.max(rel):.4f}   "
-            f"range jax [{a.min():.4f},{a.max():.4f}] torch [{b.min():.4f},{b.max():.4f}]"
-        )
+          f"torch {tuple(np.round(C.torch_val_dice(tm, ds_val),4))}")
+    C.print_rel_diff_summary(rows, KEYS, width=12)
     for k in ("loss_D", "loss_D2"):
         for fw in ("jax", "torch"):
-            s = series(k, fw)
+            s = C.series(rows, k, fw)
             print(f"{fw}_{k}: start {s[0]:.6f} end {s[-1]:.6f} "
                   f"max|dev from 2ln2| {np.max(np.abs(s - 2*np.log(2))):.6f}")
 

@@ -1,0 +1,96 @@
+"""Host-fed throughput measurement helpers.
+
+One implementation of the host->device feeding methodology shared by
+``bench.py`` (the driver benchmark's ``host_fed`` block) and
+``tools/bench_e2e.py`` (the worker-scaling breakdown), so the two tools'
+"same-session measured delta" claims stay comparable by construction.
+
+The pattern being measured is the production feeding story — the
+reference's DataLoader(num_workers=6) + per-iteration ``.cuda()`` copies
+(train_use_fix_initial.py:170-177, Trainer_prototype_full.py:273-285)
+re-expressed as: threaded ``BatchLoader`` (full train augmentation stack)
+-> per-batch ``jax.device_put`` -> the fused jitted step, overlapped like
+``Trainer.train_epoch``.
+
+All barriers here are data-dependent host fetches: on this environment's
+tunneled TPU relay ``block_until_ready`` returns before device execution
+completes (CLAUDE.md), so fetching a scalar that depends on the work is
+the only sound way to stop a clock.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+
+
+def h2d_probe(host_batch: dict, sh, loads: int = 6) -> tuple[float, int]:
+    """Pure H2D cost of one step batch: average ms to ``device_put`` every
+    array in ``host_batch`` with sharding ``sh``, and the total byte size.
+
+    Measure this BEFORE any loader threads exist — on a single-core host,
+    prefetch workers competing for the core inflate the number.
+    """
+    nbytes = sum(v.nbytes for v in host_batch.values())
+    t0 = time.time()
+    for _ in range(loads):
+        d = {k: jax.device_put(v, sh) for k, v in host_batch.items()}
+        # fetch barrier depending on EVERY transferred array (relay-safe)
+        float(sum(jnp.sum(v[0, 0, 0]) for v in d.values()))
+    return (time.time() - t0) / loads * 1000.0, nbytes
+
+
+def paired_batches(ds_s, ds_t, batch: int, workers: int,
+                   prefetch: int = 2, epochs: int = 10**6) -> Iterator[tuple]:
+    """(source, target) HOST batches from two fresh threaded loaders, epoch
+    after epoch — the ``Trainer.train_epoch`` feeding pattern. Fresh
+    ``BatchLoader``s per call: each ``epoch()`` spins its own worker
+    threads, so abandoned iterators are safe."""
+    from uda_clr_tpu.data.pipeline import BatchLoader
+
+    loader_s = BatchLoader(ds_s, batch_size=batch, num_workers=workers,
+                           prefetch=prefetch)
+    loader_t = BatchLoader(ds_t, batch_size=batch, num_workers=workers,
+                           prefetch=prefetch)
+    for ep in range(epochs):
+        for bs, bt in zip(loader_s.epoch(ep), loader_t.epoch(ep + 1000)):
+            yield bs, bt
+
+
+def device_batch(bs: dict, bt: dict, sh) -> dict:
+    """Stage one (source, target) host batch pair as the train step's input
+    dict, each array device_put with sharding ``sh``."""
+    return {
+        "image_s": jax.device_put(bs["image"], sh),
+        "map_s": jax.device_put(bs["map"], sh),
+        "boundary_s": jax.device_put(bs["boundary"], sh),
+        "image_t": jax.device_put(bt["image"], sh),
+    }
+
+
+def host_fed_window(step, state, gen, sh, steps: int,
+                    lr_gen: float = 1e-3, lr_dis: float = 2.5e-5,
+                    epoch: int = 30):
+    """Warm up (thread spinup + first prefetch fill), then time ``steps``
+    host-fed train steps end-to-end. Returns (ms_per_step, final state)."""
+    bs, bt = next(gen)
+    state, metrics = step(state, device_batch(bs, bt, sh), lr_gen, lr_dis, epoch)
+    float(metrics["loss_all"])
+    t0 = time.time()
+    for _ in range(steps):
+        bs, bt = next(gen)
+        state, metrics = step(state, device_batch(bs, bt, sh), lr_gen, lr_dis, epoch)
+    float(metrics["loss_all"])
+    return (time.time() - t0) / steps * 1000.0, state
+
+
+def pure_load_ms(gen, steps: int) -> float:
+    """Host-side loader throughput alone (augmentation + collation, no
+    device work): average ms per pulled batch pair."""
+    t0 = time.time()
+    for _ in range(steps):
+        next(gen)
+    return (time.time() - t0) / steps * 1000.0
