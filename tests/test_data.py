@@ -95,3 +95,49 @@ def test_forever_fast_forward_is_position_exact():
         np.testing.assert_array_equal(got["map"], want[k]["map"])
         got2 = next(ff)  # stream continues correctly past the entry point
         np.testing.assert_array_equal(got2["image"], want[k + 1]["image"])
+
+
+def test_loader_propagates_worker_exception():
+    """A failing dataset.get (corrupt file, transform bug) must surface in
+    the consumer as an exception, not hang q.get() forever."""
+    import pytest
+
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def get(self, index, rng):
+            raise OSError(f"corrupt sample {index}")
+
+    loader = BatchLoader(Broken(), batch_size=2, shuffle=False, num_workers=1)
+    with pytest.raises(RuntimeError, match="corrupt sample"):
+        list(loader.epoch(0))
+
+
+def test_forever_rejects_zero_batch_dataset():
+    """Dataset smaller than the batch size with drop_last: forever() would
+    busy-spin yielding nothing — must fail fast instead."""
+    import pytest
+
+    ds = SyntheticFundus(n=2, size=540, transform=eval_transforms(512))
+    loader = BatchLoader(ds, batch_size=8, drop_last=True, num_workers=1)
+    with pytest.raises(ValueError, match="zero batches"):
+        next(loader.forever())
+
+
+def test_abandoned_epoch_does_not_leak_producer():
+    """Breaking out of an epoch mid-stream must unblock a producer parked
+    on the full prefetch queue (stop-aware put)."""
+    import threading
+    import time
+
+    ds = SyntheticFundus(n=8, size=540, transform=eval_transforms(512))
+    loader = BatchLoader(ds, batch_size=1, shuffle=False, num_workers=1, prefetch=1)
+    before = threading.active_count()
+    gen = loader.epoch(0)
+    next(gen)  # producer now works ahead and parks on the bounded queue
+    gen.close()  # abandon: fires the finally -> stop.set()
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread still alive"

@@ -84,19 +84,39 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            # stop-aware put: a consumer that abandons the generator mid-epoch
+            # sets `stop` while this thread may be parked on a full queue — a
+            # blind q.put would then block forever, leaking the thread and
+            # its queued batches.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for bi in range(start, len(batches)):
-                    if stop.is_set():
-                        return
-                    idx = batches[bi]
-                    rngs = [
-                        np.random.default_rng((self.seed, epoch, bi, j))
-                        for j in range(len(idx))
-                    ]
-                    samples = list(pool.map(lambda a: self.dataset.get(*a), zip(idx, rngs)))
-                    q.put(collate(samples))
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for bi in range(start, len(batches)):
+                        if stop.is_set():
+                            return
+                        idx = batches[bi]
+                        rngs = [
+                            np.random.default_rng((self.seed, epoch, bi, j))
+                            for j in range(len(idx))
+                        ]
+                        samples = list(pool.map(lambda a: self.dataset.get(*a), zip(idx, rngs)))
+                        if not _put(collate(samples)):
+                            return
+                _put(None)
+            except BaseException as e:
+                # surface dataset/transform failures to the consumer instead
+                # of dying silently (which would hang q.get() forever); torch
+                # DataLoader propagates worker exceptions the same way
+                _put(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -105,6 +125,8 @@ class BatchLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise RuntimeError(f"BatchLoader worker failed: {item!r}") from item
                 yield item
         finally:
             stop.set()
@@ -120,7 +142,14 @@ class BatchLoader:
         comparable while the dataset length is unchanged between runs.
         """
         n = len(self)
-        epoch, off = divmod(start_batch, n) if n else (0, 0)
+        if n == 0:
+            raise ValueError(
+                f"BatchLoader.forever(): dataset yields zero batches per epoch "
+                f"(len(dataset)={len(self.dataset)} < batch_size="
+                f"{self.batch_size} with drop_last={self.drop_last}) — an "
+                f"endless stream would busy-spin without ever yielding"
+            )
+        epoch, off = divmod(start_batch, n)
         while True:
             yield from self.epoch(epoch, start=off)
             off = 0
