@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-A100_REFERENCE_IMG_PER_SEC = 20.0  # documented estimate, see module docstring
+from uda_clr_tpu.utils.devinfo import A100_REFERENCE_IMG_PER_SEC, peak_tflops
 
 
 def main():
@@ -125,13 +125,7 @@ def main():
     # Achieved model FLOPs utilisation from XLA's own per-step flop count
     # (compiled cost analysis) against the chip's peak — self-contained,
     # independent of the estimated A100 denominator.
-    peak_tflops = {
-        # bf16 peak TFLOP/s per chip by device_kind substring
-        "v4": 275.0, "v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0,
-        "v6 lite": 918.0, "v6e": 918.0,
-    }
-    kind = jax.devices()[0].device_kind.lower()
-    peak = next((v for k, v in peak_tflops.items() if k in kind), None)
+    peak = peak_tflops(jax.devices()[0].device_kind)
     mfu = None
     step_tflops = None
     try:

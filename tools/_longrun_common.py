@@ -126,6 +126,11 @@ def torch_val_dice(m, ds_val) -> np.ndarray:
 
 
 def write_rows_csv(path: str, rows: list[dict]) -> None:
+    if not rows:
+        raise ValueError(
+            f"write_rows_csv({path!r}): no rows were produced — check the "
+            f"--iters / --epochs arguments of the run that got here"
+        )
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))

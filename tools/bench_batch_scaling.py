@@ -55,10 +55,8 @@ def main():
     cfg.method.method = "prototype_full"
     cfg.method.mc_samples = 8
 
-    peak_tflops = {"v4": 275.0, "v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0,
-                   "v6 lite": 918.0, "v6e": 918.0}
-    kind = jax.devices()[0].device_kind.lower()
-    peak = next((v for k, v in peak_tflops.items() if k in kind), None)
+    from uda_clr_tpu.utils.devinfo import peak_tflops
+    peak = peak_tflops(jax.devices()[0].device_kind)
 
     mesh = get_mesh((1,))
     sh = batch_sharding(mesh)

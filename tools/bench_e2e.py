@@ -77,9 +77,13 @@ def main():
     ds_s = SyntheticFundus(n=args.n_data, size=size + 32, transform=train_transforms(size))
     ds_t = SyntheticFundus(n=args.n_data, size=size + 32, transform=train_transforms(size), seed=1)
 
-    # ---- compile + warmup on one real batch
+    # ---- compile + warmup on one real batch; close the generator before
+    # anything is timed so its producer threads can't compete for this
+    # single core during the pre-staged window or the H2D probe
     gen = hostfeed.paired_batches(ds_s, ds_t, batch, workers=2)
     bs, bt = next(gen)
+    gen.close()
+    time.sleep(0.5)  # stop-aware workers wake within 0.2 s (pipeline.py)
     db = hostfeed.device_batch(bs, bt, sh)
     t0 = time.time()
     state, metrics = step(state, db, 1e-3, 2.5e-5, 30)
@@ -114,6 +118,8 @@ def main():
         ips = batch / (ms / 1e3) / n_data
         # pure loader throughput at this worker count (no device work)
         load_ms = hostfeed.pure_load_ms(gen, args.steps)
+        gen.close()  # don't let this row's workers pollute the next row
+        time.sleep(0.5)
         rows.append({"workers": workers, "step_ms": round(ms, 1),
                      "img_per_sec_chip": round(ips, 2),
                      "device_fraction": round(prestaged_ms / ms, 3),

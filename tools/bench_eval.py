@@ -67,10 +67,8 @@ def main():
         probs = jax.nn.sigmoid(outs.mask_logits.astype(jnp.float32))
         return probs, jnp.mean(probs)
 
-    peak_tflops = {"v4": 275.0, "v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0,
-                   "v6 lite": 918.0, "v6e": 918.0}
-    kind = jax.devices()[0].device_kind.lower()
-    peak = next((v for k, v in peak_tflops.items() if k in kind), None)
+    from uda_clr_tpu.utils.devinfo import peak_tflops
+    peak = peak_tflops(jax.devices()[0].device_kind)
 
     rng = np.random.default_rng(0)
     rows = []

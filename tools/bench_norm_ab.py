@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-A100_REFERENCE_IMG_PER_SEC = 20.0  # see bench.py module docstring
+from uda_clr_tpu.utils.devinfo import A100_REFERENCE_IMG_PER_SEC
 
 
 def bench_norm(norm: str, size: int, batch: int, windows: int, iters: int):

@@ -73,18 +73,32 @@ _CV2_SMALL_GAUSS = {
 }
 
 
-def _binom_blur(img, ksize: int):
-    """Separable cv2-exact Gaussian blur of one HWC image
+def _tap5(ksize: int) -> tuple:
+    """The ksize-3/5 binomial kernel expressed as 5 taps. Zero end taps are
+    exact: 0.0*x contributes +0.0 to the running einsum sum, so the padded
+    3-tap kernel is bit-identical to a true 3-tap pass — and it lets one
+    traced 5-tap convolution serve both kernel sizes (the jit'd augment
+    selects the kernel instead of computing both blurs)."""
+    k = _CV2_SMALL_GAUSS[ksize]
+    pad = (5 - ksize) // 2
+    return (0.0,) * pad + k + (0.0,) * pad
+
+
+def _blur5(img, k):
+    """Separable 5-tap blur of one HWC image with kernel row ``k``
     (BORDER_REFLECT_101 == numpy 'reflect')."""
-    k = jnp.asarray(_CV2_SMALL_GAUSS[ksize], jnp.float32)
-    r = ksize // 2
-    x = jnp.pad(img, [(r, r), (0, 0), (0, 0)], mode="reflect")
+    x = jnp.pad(img, [(2, 2), (0, 0), (0, 0)], mode="reflect")
     x = jnp.einsum("k,khwc->hwc", k,
-                   jnp.stack([x[i : i + img.shape[0]] for i in range(ksize)]))
-    x = jnp.pad(x, [(0, 0), (r, r), (0, 0)], mode="reflect")
+                   jnp.stack([x[i : i + img.shape[0]] for i in range(5)]))
+    x = jnp.pad(x, [(0, 0), (2, 2), (0, 0)], mode="reflect")
     x = jnp.einsum("k,hkwc->hwc", k,
-                   jnp.stack([x[:, i : i + img.shape[1]] for i in range(ksize)], 1))
+                   jnp.stack([x[:, i : i + img.shape[1]] for i in range(5)], 1))
     return x
+
+
+def _binom_blur(img, ksize: int):
+    """Separable cv2-exact Gaussian blur of one HWC image."""
+    return _blur5(img, jnp.asarray(_tap5(ksize), jnp.float32))
 
 
 def _q8(x):
@@ -139,10 +153,13 @@ def _augment_one(key, img):
     gray = _q8(jnp.sum(x * jnp.asarray([0.299, 0.587, 0.114]), axis=-1, keepdims=True))
     x = jnp.where(jax.random.uniform(ks[6]) < 0.2, jnp.broadcast_to(gray, x.shape), x)
 
-    # GaussianBlur(5) p=0.5: random odd ksize in {3,5}, cv2 sigma-0 kernels
+    # GaussianBlur(5) p=0.5: random odd ksize in {3,5}, cv2 sigma-0 kernels.
+    # One 5-tap pass with a selected kernel — the zero-padded 3-tap row is
+    # bit-identical to a true 3-tap blur at half the traced conv work.
     use5 = jax.random.uniform(ks[7]) < 0.5
-    blurred = jnp.where(use5, _binom_blur(x, 5), _binom_blur(x, 3))
-    x = jnp.where(jax.random.uniform(ks[8]) < 0.5, _q8(blurred), x)
+    kern = jnp.where(use5, jnp.asarray(_tap5(5), jnp.float32),
+                     jnp.asarray(_tap5(3), jnp.float32))
+    x = jnp.where(jax.random.uniform(ks[8]) < 0.5, _q8(_blur5(x, kern)), x)
 
     return x[..., ::-1] * 2.0 - 1.0
 

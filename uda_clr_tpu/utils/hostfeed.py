@@ -55,6 +55,13 @@ def paired_batches(ds_s, ds_t, batch: int, workers: int,
                            prefetch=prefetch)
     loader_t = BatchLoader(ds_t, batch_size=batch, num_workers=workers,
                            prefetch=prefetch)
+    if len(loader_s) == 0 or len(loader_t) == 0:
+        raise ValueError(
+            f"paired_batches: a dataset yields zero batches per epoch "
+            f"(len={len(ds_s)}/{len(ds_t)} < batch_size={batch}) — the "
+            f"stream would spin through empty epochs, one worker thread "
+            f"each, and then StopIteration with no diagnostic"
+        )
     for ep in range(epochs):
         for bs, bt in zip(loader_s.epoch(ep), loader_t.epoch(ep + 1000)):
             yield bs, bt
