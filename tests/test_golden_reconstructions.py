@@ -107,7 +107,11 @@ GOLDEN = {
     },
     "prototype_mt": {
         "loss_seg": 0.9207851887,
-        "loss_aug": 0.0461569466,
+        # regenerated after the albumentations-exact strong_augment rewrite
+        # (HSV 180-unit circle, brightness_by_max, cv2 binomial blur,
+        # uint8-grid snaps) — only the augmented image, and hence this one
+        # logged-only metric, changed; every other golden is untouched
+        "loss_aug": 0.0466767699,
         "loss_src_reg": 0.0207180083,
         "loss_intra": 0.2640155256,
         "loss_inter": 0.0123099387,
