@@ -47,6 +47,10 @@ def main():
     # per-domain running stats + transferability residual); default is the
     # production plain-BN path the headline number tracks.
     norm = os.environ.get("UDA_BENCH_NORM", "bn")
+    # UDA_BENCH_METHOD=prototype_mt benchmarks the paper-complete CLR step
+    # (flagship + on-device strong-aug consistency + discriminative source
+    # regularizer); default is the flagship the headline number tracks.
+    method = os.environ.get("UDA_BENCH_METHOD", "prototype_full")
 
     # UDA_BENCH_SIZE/UDA_BENCH_BATCH exist ONLY so the full script can be
     # smoke-tested at toy shapes on the CPU backend; the driver runs the
@@ -56,7 +60,7 @@ def main():
     cfg = Config()
     cfg.model.compute_dtype = "bfloat16"
     cfg.model.norm = norm
-    cfg.method.method = "prototype_full"
+    cfg.method.method = method
     cfg.method.mc_samples = 8  # reference T=8
     cfg.method.mask_head_impl = os.environ.get("UDA_MASKHEAD_IMPL", "auto")
 
@@ -89,7 +93,7 @@ def main():
         ),
     }
 
-    step = make_train_step(model, cfg, "prototype_full", proto_phase=True)
+    step = make_train_step(model, cfg, method, proto_phase=True)
 
     # compile + warmup. NOTE: timing barriers are host fetches of a scalar
     # that depends on the full step chain — on this environment's tunneled
@@ -189,7 +193,7 @@ def main():
 
     ips_per_chip = batch / (med_ms / 1e3) / n_data
     result = {
-        "metric": f"prototype_full train throughput ({size}x{size}, B{batch}, T=8 MC, bf16"
+        "metric": f"{method} train throughput ({size}x{size}, B{batch}, T=8 MC, bf16"
         + (", TransNorm)" if norm == "tn" else ")"),
         "value": round(ips_per_chip, 2),
         "unit": "images/sec/chip",
