@@ -158,15 +158,29 @@ def main():
         from uda_clr_tpu.data import SyntheticFundus, train_transforms
         from uda_clr_tpu.utils import hostfeed
 
+        # UDA_BENCH_WIRE=u8 measures the uint8 wire format (4x smaller
+        # H2D + uint8 collate; bit-exact decode inside the jitted step —
+        # data/wire.py). Default stays f32 for cross-round comparability.
+        wire = os.environ.get("UDA_BENCH_WIRE", "f32")
+
         # pure H2D transfer of one step batch, measured BEFORE any loader
         # exists (prefetch threads competing for this box's single core
         # would otherwise inflate it)
         one = {k: np.asarray(jax.device_get(v)) for k, v in data.items()}
+        if wire == "u8":
+            # same shapes, wire dtype (the pre-staged arrays are random
+            # normals, not encodable values; transfer cost only needs
+            # shape+dtype)
+            h2d_rng = np.random.default_rng(7)
+            one = {k: h2d_rng.integers(0, 256, v.shape).astype(np.uint8)
+                   for k, v in one.items()}
         h2d_ms, nbytes = hostfeed.h2d_probe(one, sh)
 
         workers = min(2, os.cpu_count() or 1)
-        ds_s = SyntheticFundus(n=16, size=size + 32, transform=train_transforms(size))
-        ds_t = SyntheticFundus(n=16, size=size + 32, transform=train_transforms(size), seed=1)
+        ds_s = SyntheticFundus(n=16, size=size + 32,
+                               transform=train_transforms(size, wire=wire))
+        ds_t = SyntheticFundus(n=16, size=size + 32,
+                               transform=train_transforms(size, wire=wire), seed=1)
 
         hf_steps = 12
         gen = hostfeed.paired_batches(ds_s, ds_t, batch, workers)
@@ -179,6 +193,7 @@ def main():
         host_fed = {
             "step_ms": round(hf_ms, 1),
             "img_per_sec_chip": round(batch / (hf_ms / 1e3) / n_data, 2),
+            "wire": wire,
             "workers": workers,
             "host_cores": os.cpu_count(),
             "device_fraction": round(med_ms / hf_ms, 3),

@@ -63,6 +63,9 @@ def build_config(argv=None) -> Config:
                    help="warm-start checkpoint (BEAL bootstrap)")
     p.add_argument("--seed", type=int, default=1337)
     p.add_argument("--num-workers", type=int, default=2)
+    p.add_argument("--wire", default="f32", choices=("f32", "u8"),
+                   help="host->device batch format: u8 ships uint8 + "
+                        "decodes on device (bit-exact, 4x less transfer)")
     p.add_argument("--profile", action="store_true",
                    help="capture one XLA trace window (steps 3-8 of the first "
                         "epoch) into <out>/profile")
@@ -92,6 +95,7 @@ def build_config(argv=None) -> Config:
     cfg.data.image_size = args.image_size
     cfg.data.batch_size = args.batch_size
     cfg.data.num_workers = args.num_workers
+    cfg.data.wire = args.wire
     cfg.data.synthetic = args.synthetic
     cfg.optim.lr_gen = args.lr_gen
     cfg.optim.lr_dis = args.lr_dis

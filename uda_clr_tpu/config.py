@@ -36,6 +36,9 @@ class DataConfig:
     image_size: int = 512
     batch_size: int = 8
     num_workers: int = 2
+    # host->device wire format: "f32" (reference contract) or "u8" (uint8
+    # batches + on-device decode — bit-exact, 4x less transfer; data/wire.py)
+    wire: str = "f32"
     synthetic: bool = False  # tests/benchmarks without the real datasets
     synthetic_size: int = 16
 

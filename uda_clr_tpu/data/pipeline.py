@@ -21,7 +21,12 @@ _BATCH_KEYS = ("image", "map", "boundary")
 
 
 def collate(samples) -> dict:
-    batch = {k: np.stack([s[k] for s in samples]).astype(np.float32) for k in _BATCH_KEYS}
+    batch = {}
+    for k in _BATCH_KEYS:
+        arr = np.stack([s[k] for s in samples])
+        # uint8 wire-format batches (data/wire.py) cross host->device as-is
+        # (4x fewer bytes); everything else keeps the fp32 contract
+        batch[k] = arr if arr.dtype == np.uint8 else arr.astype(np.float32)
     batch["img_name"] = [s["img_name"] for s in samples]
     return batch
 

@@ -244,15 +244,23 @@ class Normalize_tf:
     """Image -> [-1,1]; grayscale mask -> multilabel {cup,disc}; Gaussian
     boundary target (custom_transforms.py:432-466). The Gaussian blur runs
     on the uint8-scaled ring exactly like the reference (including its
-    integer quantization of the blurred target)."""
+    integer quantization of the blurred target).
 
-    def __init__(self):
+    ``wire="u8"`` keeps all three outputs uint8 (image pre-scale, binary
+    map, blurred-ring boundary pre-/255) for the 4x-smaller host->device
+    wire format; the scale/offset then happens on device
+    (``data/wire.py``), bit-exactly — every value here is an exact uint8
+    (see the provenance notes in that module's docstring)."""
+
+    def __init__(self, wire: str = "f32"):
+        if wire not in ("f32", "u8"):
+            raise ValueError(f"wire must be 'f32' or 'u8', got {wire!r}")
+        self.wire = wire
         self.get_boundary = GetBoundary()
 
     def __call__(self, sample, rng=None):
-        img = np.asarray(sample["image"]).astype(np.float32)
+        img_raw = np.asarray(sample["image"])
         __mask = np.asarray(_to_pil(sample["label"])).astype(np.uint8).copy()
-        img = img / 127.5 - 1.0
         _mask = np.zeros(__mask.shape[:2])
         _mask[__mask > 200] = 255
         _mask[(__mask > 50) & (__mask < 201)] = 128
@@ -260,12 +268,20 @@ class Normalize_tf:
         __mask[_mask == 255] = 0
         __mask[_mask == 128] = 1
         mask = to_multilabel(__mask)
-        boundary = (self.get_boundary(mask) * 255).astype(np.uint8)
-        boundary = ndi.gaussian_filter(boundary, sigma=3) / 255.0
+        boundary_u8 = ndi.gaussian_filter(
+            (self.get_boundary(mask) * 255).astype(np.uint8), sigma=3
+        )
+        if self.wire == "u8":
+            return {
+                "image": img_raw.astype(np.uint8),
+                "map": mask.astype(np.uint8),
+                "boundary": boundary_u8[..., None],
+                "img_name": sample["img_name"],
+            }
         return {
-            "image": img.astype(np.float32),
+            "image": (img_raw.astype(np.float32) / 127.5 - 1.0).astype(np.float32),
             "map": mask.astype(np.float32),
-            "boundary": boundary[..., None].astype(np.float32),
+            "boundary": (boundary_u8 / 255.0)[..., None].astype(np.float32),
             "img_name": sample["img_name"],
         }
 
@@ -379,8 +395,11 @@ class Normalize_cityscapes:
         return {"image": img, "label": mask, "img_name": sample["img_name"]}
 
 
-def train_transforms(size: int = 512) -> Compose:
-    """The reference training pipeline (train_use_fix_initial.py:150-160)."""
+def train_transforms(size: int = 512, wire: str = "f32") -> Compose:
+    """The reference training pipeline (train_use_fix_initial.py:150-160).
+
+    ``wire="u8"`` emits uint8 batches for the 4x-smaller host->device
+    wire format (bit-exact after the on-device decode — data/wire.py)."""
     return Compose(
         [
             RandomScaleCrop(size),
@@ -390,11 +409,11 @@ def train_transforms(size: int = 512) -> Compose:
             add_salt_pepper_noise(),
             adjust_light(),
             eraser(),
-            Normalize_tf(),
+            Normalize_tf(wire=wire),
         ]
     )
 
 
-def eval_transforms(size: int = 512) -> Compose:
+def eval_transforms(size: int = 512, wire: str = "f32") -> Compose:
     """The reference test pipeline (train_use_fix_initial.py:162-166)."""
-    return Compose([RandomCrop(size), Normalize_tf()])
+    return Compose([RandomCrop(size), Normalize_tf(wire=wire)])

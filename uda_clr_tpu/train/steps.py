@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from uda_clr_tpu.config import Config
+from uda_clr_tpu.data.wire import decode_batch
 from uda_clr_tpu.models.deeplab import DeepLab, DeepLabOutputs
 from uda_clr_tpu.models.gan import BoundaryDiscriminator, UncertaintyDiscriminator
 from uda_clr_tpu.ops import losses as L
@@ -361,6 +362,7 @@ def make_bcdm_step(model: DeepLab, cfg: Config):
         return L.bce_sigmoid_stable(o, map_s) + L.mse(jax.nn.sigmoid(bd), boundary_s)
 
     def step(state: TrainState, batch: dict, lr_gen, lr_dis, epoch):
+        batch = decode_batch(batch)  # uint8 wire batches -> canonical fp32
         rng, *ks = jax.random.split(state.rng, 16)
         image_s = batch["image_s"].astype(compute_dtype)
         map_s, boundary_s = batch["map_s"], batch["boundary_s"]
@@ -554,6 +556,7 @@ def make_train_step(model: DeepLab, cfg: Config, method: str, proto_phase: bool 
     use_teacher = method == "mean_teacher"
 
     def step(state: TrainState, batch: dict, lr_gen, lr_dis, epoch):
+        batch = decode_batch(batch)  # uint8 wire batches -> canonical fp32
         rng, k_fwd, k_mc, k_aug, k_augfwd, k_teacher = jax.random.split(state.rng, 6)
         k_fwd = _dropout_key(k_fwd, mcfg.rng_impl)
         k_augfwd = _dropout_key(k_augfwd, mcfg.rng_impl)
@@ -1059,6 +1062,8 @@ def make_eval_step(model: DeepLab, compute_dtype=jnp.float32):
     the same pixel count."""
 
     def step(variables, image, map_t):
+        decoded = decode_batch({"image": image, "map": map_t})
+        image, map_t = decoded["image"], decoded["map"]
         outs = model.apply(variables, image.astype(compute_dtype), train=False)
         logits = outs.mask_logits.astype(jnp.float32)
         per_image = jnp.mean(

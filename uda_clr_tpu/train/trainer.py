@@ -22,6 +22,7 @@ from uda_clr_tpu.config import Config
 from uda_clr_tpu.data.fundus import FundusSegmentation
 from uda_clr_tpu.data.pipeline import BatchLoader
 from uda_clr_tpu.data.synthetic import SyntheticFundus
+from uda_clr_tpu.data import wire
 from uda_clr_tpu.data.transforms import eval_transforms, train_transforms
 from uda_clr_tpu.models.deeplab import DeepLab
 from uda_clr_tpu.parallel.mesh import batch_sharding, get_mesh, replicated_sharding
@@ -59,26 +60,34 @@ class Trainer:
         self._replicated = replicated_sharding(self.mesh)
 
         size = cfg.data.image_size
+        wire = cfg.data.wire
         if datasets is not None:
             self.ds_s = datasets["source"]
             self.ds_t = datasets.get("target", datasets["source"])
             self.ds_val = datasets.get("val", self.ds_t)
         elif cfg.data.synthetic:
             n = cfg.data.synthetic_size
-            self.ds_s = SyntheticFundus(n, size + 28, seed=1, transform=train_transforms(size))
-            self.ds_t = SyntheticFundus(n, size + 28, seed=2, transform=train_transforms(size))
+            self.ds_s = SyntheticFundus(
+                n, size + 28, seed=1, transform=train_transforms(size, wire=wire)
+            )
+            self.ds_t = SyntheticFundus(
+                n, size + 28, seed=2, transform=train_transforms(size, wire=wire)
+            )
             self.ds_val = SyntheticFundus(
-                max(n // 2, 2), size + 28, seed=3, transform=eval_transforms(size)
+                max(n // 2, 2), size + 28, seed=3, transform=eval_transforms(size, wire=wire)
             )
         else:
             self.ds_s = FundusSegmentation(
-                cfg.data.data_dir, cfg.data.dataset_source, "train", train_transforms(size)
+                cfg.data.data_dir, cfg.data.dataset_source, "train",
+                train_transforms(size, wire=wire),
             )
             self.ds_t = FundusSegmentation(
-                cfg.data.data_dir, cfg.data.dataset_target, "train", train_transforms(size)
+                cfg.data.data_dir, cfg.data.dataset_target, "train",
+                train_transforms(size, wire=wire),
             )
             self.ds_val = FundusSegmentation(
-                cfg.data.data_dir, cfg.data.dataset_target, "test", eval_transforms(size)
+                cfg.data.data_dir, cfg.data.dataset_target, "test",
+                eval_transforms(size, wire=wire),
             )
 
         bs = cfg.data.batch_size
@@ -349,18 +358,25 @@ class Trainer:
         host batch; prediction/std/confidence tiles from the step's device
         viz slices. Tags match the reference's."""
         w = self.writer
-        w.add_image("DomainS/image", (batch_s["image"][0] + 1.0) * 0.5, iteration)
-        w.add_image("DomainS/target_cup", batch_s["map"][0][..., 0], iteration)
-        w.add_image("DomainS/target_disc", batch_s["map"][0][..., 1], iteration)
-        w.add_image("DomainS/target_boundary", batch_s["boundary"][0][..., 0], iteration)
+        # wire-format (uint8) batches carry raw values; decode the few
+        # host-consumed tiles (first image of the batch) before plotting
+        img_s = wire.decode_array("image", batch_s["image"][0])
+        map_s = wire.decode_array("map", batch_s["map"][0])
+        bnd_s = wire.decode_array("boundary", batch_s["boundary"][0])
+        w.add_image("DomainS/image", (img_s + 1.0) * 0.5, iteration)
+        w.add_image("DomainS/target_cup", map_s[..., 0], iteration)
+        w.add_image("DomainS/target_disc", map_s[..., 1], iteration)
+        w.add_image("DomainS/target_boundary", bnd_s[..., 0], iteration)
         w.add_image("DomainS/prediction_cup", viz["pred_s"][..., 0], iteration)
         w.add_image("DomainS/prediction_disc", viz["pred_s"][..., 1], iteration)
         w.add_image("DomainS/prediction_boundary", viz["pred_b_s"][..., 0], iteration)
         if batch_t is not None and "pred_t" in viz:
-            w.add_image("DomainT/image", (batch_t["image"][0] + 1.0) * 0.5, iteration)
+            img_t = wire.decode_array("image", batch_t["image"][0])
+            w.add_image("DomainT/image", (img_t + 1.0) * 0.5, iteration)
             if "map" in batch_t:
-                w.add_image("DomainT/target_cup", batch_t["map"][0][..., 0], iteration)
-                w.add_image("DomainT/target_disc", batch_t["map"][0][..., 1], iteration)
+                map_t = wire.decode_array("map", batch_t["map"][0])
+                w.add_image("DomainT/target_cup", map_t[..., 0], iteration)
+                w.add_image("DomainT/target_disc", map_t[..., 1], iteration)
             w.add_image("DomainT/prediction_cup", viz["pred_t"][..., 0], iteration)
             w.add_image("DomainT/prediction_disc", viz["pred_t"][..., 1], iteration)
             w.add_image("DomainT/boundaryT", viz["bnd_t_raw"][..., 0], iteration)
@@ -389,22 +405,24 @@ class Trainer:
                 image = np.repeat(image, reps, axis=0)
                 map_t = np.repeat(map_t, reps, axis=0)
             # shard the (padded, fixed-shape) eval batch over the data axis
-            # so validation uses every chip like training does
+            # so validation uses every chip like training does; uint8
+            # wire batches cross as-is and decode inside the eval step
             image = jax.device_put(image, self._batch_sharding)
             map_t = jax.device_put(map_t, self._batch_sharding)
             logits, _, per_image_loss = self._eval_step(variables, image, map_t)
             logits = np.asarray(logits)[:n_valid]
             loss = float(np.mean(np.asarray(per_image_loss)[:n_valid]))
+            map_host = wire.decode_array("map", batch["map"])
             if self.cfg.run.save_val_images and len(val_strips) < 8:
                 from uda_clr_tpu.utils.visualize import joint_val_image
 
                 probs = 1.0 / (1.0 + np.exp(-logits[0]))
-                img01 = (batch["image"][0] + 1.0) * 0.5
-                val_strips.append(joint_val_image(img01, probs, batch["map"][0]))
+                img01 = (wire.decode_array("image", batch["image"][0]) + 1.0) * 0.5
+                val_strips.append(joint_val_image(img01, probs, map_host[0]))
             if not np.isfinite(loss):
                 raise ValueError("loss is nan while validating")
-            cup_d, disc_d = dice_coeff_2label(logits, batch["map"])
-            pa_cup, pa_disc, iou_cup, iou_disc = pixel_acc(logits, batch["map"])
+            cup_d, disc_d = dice_coeff_2label(logits, map_host)
+            pa_cup, pa_disc, iou_cup, iou_disc = pixel_acc(logits, map_host)
             tot["loss"] += loss
             tot["cup_dice"] += cup_d
             tot["disc_dice"] += disc_d
