@@ -60,7 +60,7 @@ class Trainer:
         self._replicated = replicated_sharding(self.mesh)
 
         size = cfg.data.image_size
-        wire = cfg.data.wire
+        wire_fmt = cfg.data.wire
         if datasets is not None:
             self.ds_s = datasets["source"]
             self.ds_t = datasets.get("target", datasets["source"])
@@ -68,26 +68,26 @@ class Trainer:
         elif cfg.data.synthetic:
             n = cfg.data.synthetic_size
             self.ds_s = SyntheticFundus(
-                n, size + 28, seed=1, transform=train_transforms(size, wire=wire)
+                n, size + 28, seed=1, transform=train_transforms(size, wire=wire_fmt)
             )
             self.ds_t = SyntheticFundus(
-                n, size + 28, seed=2, transform=train_transforms(size, wire=wire)
+                n, size + 28, seed=2, transform=train_transforms(size, wire=wire_fmt)
             )
             self.ds_val = SyntheticFundus(
-                max(n // 2, 2), size + 28, seed=3, transform=eval_transforms(size, wire=wire)
+                max(n // 2, 2), size + 28, seed=3, transform=eval_transforms(size, wire=wire_fmt)
             )
         else:
             self.ds_s = FundusSegmentation(
                 cfg.data.data_dir, cfg.data.dataset_source, "train",
-                train_transforms(size, wire=wire),
+                train_transforms(size, wire=wire_fmt),
             )
             self.ds_t = FundusSegmentation(
                 cfg.data.data_dir, cfg.data.dataset_target, "train",
-                train_transforms(size, wire=wire),
+                train_transforms(size, wire=wire_fmt),
             )
             self.ds_val = FundusSegmentation(
                 cfg.data.data_dir, cfg.data.dataset_target, "test",
-                eval_transforms(size, wire=wire),
+                eval_transforms(size, wire=wire_fmt),
             )
 
         bs = cfg.data.batch_size
