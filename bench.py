@@ -22,13 +22,13 @@ from __future__ import annotations
 
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from uda_clr_tpu.utils.devinfo import A100_REFERENCE_IMG_PER_SEC, peak_tflops
+from uda_clr_tpu.utils.benchmarking import cost_mfu, staged_train_batch, timed_windows
+from uda_clr_tpu.utils.devinfo import A100_REFERENCE_IMG_PER_SEC
 
 
 def main():
@@ -76,74 +76,31 @@ def main():
     state = create_train_state(model, jax.random.PRNGKey(0), (batch, size, size, 3))
     state = jax.device_put(state, replicated_sharding(mesh))
 
-    rng = np.random.default_rng(0)
     sh = batch_sharding(mesh)
-    data = {
-        "image_s": jax.device_put(
-            rng.standard_normal((batch, size, size, 3)).astype(np.float32), sh
-        ),
-        "map_s": jax.device_put(
-            (rng.uniform(0, 1, (batch, size, size, 2)) > 0.5).astype(np.float32), sh
-        ),
-        "boundary_s": jax.device_put(
-            rng.uniform(0, 1, (batch, size, size, 1)).astype(np.float32), sh
-        ),
-        "image_t": jax.device_put(
-            rng.standard_normal((batch, size, size, 3)).astype(np.float32), sh
-        ),
-    }
+    data = staged_train_batch(batch, size, sh)
 
     step = make_train_step(model, cfg, method, proto_phase=True)
 
-    # compile + warmup. NOTE: timing barriers are host fetches of a scalar
-    # that depends on the full step chain — on this environment's tunneled
-    # TPU relay, block_until_ready returns before device execution
-    # completes, so a data-dependent fetch is the only sound barrier.
+    def step_once(carry):
+        st, _ = carry
+        st, metrics = step(st, data, 1e-3, 2.5e-5, 30)
+        return (st, metrics), metrics["loss_all"]
+
+    # compile + warmup + >=5 independent timing windows (VERDICT r2 item
+    # 3): median + spread so one hot/cold relay window can't move the
+    # headline by itself. Barrier methodology lives in utils/benchmarking.
     print("# compiling...", file=sys.stderr, flush=True)
-    t0 = time.time()
-    state, metrics = step(state, data, 1e-3, 2.5e-5, 30)
-    float(metrics["loss_all"])
-    compile_s = time.time() - t0
-    print(f"# compiled in {compile_s:.1f}s; warmup...", file=sys.stderr, flush=True)
-    for _ in range(2):
-        state, metrics = step(state, data, 1e-3, 2.5e-5, 30)
-    float(metrics["loss_all"])
-    print("# timing...", file=sys.stderr, flush=True)
+    (state, metrics), stats = timed_windows(step_once, (state, None),
+                                            windows=5, iters=10)
+    compile_s = stats["compile_s"]
+    window_ms = stats["window_ms"]
+    med_ms = stats["median_ms"]
+    print(f"# compiled in {compile_s:.1f}s", file=sys.stderr, flush=True)
 
-    # >=5 independent timing windows (VERDICT r2 item 3): report the
-    # median step time and the spread, so one hot/cold relay window can't
-    # move the headline by itself.
-    windows, iters = 5, 10
-    window_ms = []
-    for _ in range(windows):
-        t0 = time.time()
-        for _ in range(iters):
-            state, metrics = step(state, data, 1e-3, 2.5e-5, 30)
-        # steps chain through `state`; fetching the final loss forces the
-        # whole sequence to complete before the clock stops
-        float(metrics["loss_all"])
-        window_ms.append((time.time() - t0) / iters * 1000.0)
-    window_ms.sort()
-    med_ms = float(np.median(window_ms))
-
-    # Achieved model FLOPs utilisation from XLA's own per-step flop count
-    # (compiled cost analysis) against the chip's peak — self-contained,
-    # independent of the estimated A100 denominator.
-    peak = peak_tflops(jax.devices()[0].device_kind)
-    mfu = None
-    step_tflops = None
-    try:
-        cost = step.lower(state, data, 1e-3, 2.5e-5, 30).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        # cost_analysis() reports PER-DEVICE flops (post-SPMD partitioning;
-        # verified on a sharded einsum over an 8-device mesh), so this is
-        # already the per-chip numerator — no further /n_data.
-        step_tflops = float(cost["flops"]) / 1e12
-        if peak:
-            mfu = step_tflops / (med_ms / 1e3) / peak
-    except Exception as e:  # relay backends may not expose cost analysis
-        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+    # Achieved MFU from XLA's compiled per-chip flop count vs chip peak —
+    # self-contained, independent of the estimated A100 denominator.
+    mfu, step_tflops = cost_mfu(
+        lambda: step.lower(state, data, 1e-3, 2.5e-5, 30), med_ms)
 
     # End-to-end host-fed window (VERDICT r3 item 4): the real BatchLoader
     # (full 512^2 train augmentation stack, native C++ hot path) ->

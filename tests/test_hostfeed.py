@@ -63,3 +63,22 @@ def test_write_rows_csv_roundtrip(tmp_path):
     with open(p) as f:
         rows = list(csv.DictReader(f))
     assert [r["a"] for r in rows] == ["1", "3"]
+
+
+def test_pure_load_ms_drains_before_timing():
+    """Callers hand pure_load_ms a generator whose prefetch queues were
+    filled during a preceding device-bound window; the drain pulls must be
+    consumed untimed so instant queue hits can't deflate the number."""
+    from uda_clr_tpu.utils import hostfeed
+
+    pulled = []
+
+    def gen():
+        i = 0
+        while True:
+            pulled.append(i)
+            yield (None, None)
+            i += 1
+
+    hostfeed.pure_load_ms(gen(), steps=3, drain=4)
+    assert len(pulled) == 7  # 4 drained + 3 timed

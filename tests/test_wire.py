@@ -5,6 +5,7 @@ these tests pin that the decode is EXACTLY the fp32 pipeline — transforms,
 steps, and a full trainer epoch produce bit-identical numbers either way.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -166,3 +167,19 @@ def test_trainer_epoch_wire_trajectory_exact(tmp_path):
     m_u, val_u = results["u8"]
     assert m_f == m_u
     assert val_f == val_u
+
+
+def test_unknown_uint8_key_raises():
+    """uint8 under an unknown key must fail loudly (decode would otherwise
+    silently pass 0..255 values into a loss); the known-key table covers
+    the full _s/_t families."""
+    from uda_clr_tpu.data import wire
+
+    with pytest.raises(KeyError, match="weird_key"):
+        wire.decode_array("weird_key", np.zeros((2, 2), np.uint8))
+    with pytest.raises(KeyError, match="weird_key"):
+        wire.decode_batch({"weird_key": jnp.zeros((2, 2), jnp.uint8)})
+    # ...and boundary_t is a known key, symmetric with map_t
+    out = wire.decode_array("boundary_t", np.array([255, 0], np.uint8))
+    assert out.dtype == np.float32
+    np.testing.assert_array_equal(out, [1.0, 0.0])

@@ -21,13 +21,15 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
+from uda_clr_tpu.utils.benchmarking import (
+    cost_mfu, oom_message, staged_train_batch, timed_windows,
+)
 
 
 def main():
@@ -55,9 +57,6 @@ def main():
     cfg.method.method = "prototype_full"
     cfg.method.mc_samples = 8
 
-    from uda_clr_tpu.utils.devinfo import peak_tflops
-    peak = peak_tflops(jax.devices()[0].device_kind)
-
     mesh = get_mesh((1,))
     sh = batch_sharding(mesh)
     model = DeepLab(num_classes=2, backbone="mobilenet", output_stride=16,
@@ -65,16 +64,13 @@ def main():
     rows = []
     for batch in [int(b) for b in args.batches.split(",")]:
         try:
-            rows.append(_measure(batch, size, args, cfg, model, mesh, sh, peak,
+            rows.append(_measure(batch, size, args, cfg, model, mesh, sh,
                                  create_train_state, replicated_sharding,
                                  make_train_step))
         except Exception as e:  # e.g. HBM OOM at large batches — report, keep going
-            msg = str(e)
-            cut = msg.lower().find("ran out of memory")
-            if cut >= 0:
-                msg = msg[cut:]
-            rows.append({"batch": batch, "error": msg[:160]})
-            print(f"# B{batch}: FAILED: {msg[:160]}", file=sys.stderr, flush=True)
+            msg = oom_message(e)
+            rows.append({"batch": batch, "error": msg})
+            print(f"# B{batch}: FAILED: {msg}", file=sys.stderr, flush=True)
 
     print(json.dumps({"metric": f"prototype_full batch scaling ({size}x{size}, "
                                 "T=8 MC, bf16"
@@ -82,47 +78,21 @@ def main():
                       "rows": rows, "device_kind": jax.devices()[0].device_kind}))
 
 
-def _measure(batch, size, args, cfg, model, mesh, sh, peak,
+def _measure(batch, size, args, cfg, model, mesh, sh,
              create_train_state, replicated_sharding, make_train_step):
     state = create_train_state(model, jax.random.PRNGKey(0), (batch, size, size, 3))
     state = jax.device_put(state, replicated_sharding(mesh))
-    rng = np.random.default_rng(0)
-    data = {
-        "image_s": jax.device_put(
-            rng.standard_normal((batch, size, size, 3)).astype(np.float32), sh),
-        "map_s": jax.device_put(
-            (rng.uniform(0, 1, (batch, size, size, 2)) > 0.5).astype(np.float32), sh),
-        "boundary_s": jax.device_put(
-            rng.uniform(0, 1, (batch, size, size, 1)).astype(np.float32), sh),
-        "image_t": jax.device_put(
-            rng.standard_normal((batch, size, size, 3)).astype(np.float32), sh),
-    }
+    data = staged_train_batch(batch, size, sh)
     step = make_train_step(model, cfg, "prototype_full", proto_phase=True)
-    t0 = time.time()
-    state, metrics = step(state, data, 1e-3, 2.5e-5, 30)
-    float(metrics["loss_all"])  # relay-safe barrier (CLAUDE.md)
-    compile_s = time.time() - t0
-    for _ in range(2):
-        state, metrics = step(state, data, 1e-3, 2.5e-5, 30)
-    float(metrics["loss_all"])
-    window_ms = []
-    for _ in range(args.windows):
-        t0 = time.time()
-        for _ in range(args.iters):
-            state, metrics = step(state, data, 1e-3, 2.5e-5, 30)
-        float(metrics["loss_all"])
-        window_ms.append((time.time() - t0) / args.iters * 1000.0)
-    med = float(np.median(window_ms))
-    mfu = tflops = None
-    try:
-        cost = step.lower(state, data, 1e-3, 2.5e-5, 30).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        tflops = float(cost["flops"]) / 1e12
-        if peak:
-            mfu = tflops / (med / 1e3) / peak
-    except Exception as e:
-        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+
+    def step_once(st):
+        st, metrics = step(st, data, 1e-3, 2.5e-5, 30)
+        return st, metrics["loss_all"]
+
+    state, stats = timed_windows(step_once, state,
+                                 windows=args.windows, iters=args.iters)
+    med, compile_s = stats["median_ms"], stats["compile_s"]
+    mfu, tflops = cost_mfu(lambda: step.lower(state, data, 1e-3, 2.5e-5, 30), med)
     row = {"batch": batch, "step_ms": round(med, 1),
            "img_per_sec_chip": round(batch / (med / 1e3), 2),
            "mfu": round(mfu, 4) if mfu is not None else None,

@@ -51,6 +51,7 @@ def main():
     from uda_clr_tpu.train.state import create_train_state
     from uda_clr_tpu.train.steps import make_train_step
     from uda_clr_tpu.utils import hostfeed
+    from uda_clr_tpu.utils.benchmarking import timed_windows
 
     set_dropout_impl(os.environ.get("UDA_DROPOUT_IMPL", "xla16"))
     size, batch = args.size, args.batch
@@ -85,20 +86,16 @@ def main():
     gen.close()
     time.sleep(0.5)  # stop-aware workers wake within 0.2 s (pipeline.py)
     db = hostfeed.device_batch(bs, bt, sh)
-    t0 = time.time()
-    state, metrics = step(state, db, 1e-3, 2.5e-5, 30)
-    float(metrics["loss_all"])  # the relay's only sound barrier (CLAUDE.md)
-    print(f"# compiled in {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
-    # ---- pre-staged window (same session, bench.py-style)
-    for _ in range(2):
-        state, metrics = step(state, db, 1e-3, 2.5e-5, 30)
-    float(metrics["loss_all"])
-    t0 = time.time()
-    for _ in range(args.steps):
-        state, metrics = step(state, db, 1e-3, 2.5e-5, 30)
-    float(metrics["loss_all"])
-    prestaged_ms = (time.time() - t0) / args.steps * 1000.0
+    def step_once(st):
+        st, metrics = step(st, db, 1e-3, 2.5e-5, 30)
+        return st, metrics["loss_all"]
+
+    # ---- compile + pre-staged window (same session, bench.py-style
+    # methodology via the shared scaffold)
+    state, stats = timed_windows(step_once, state, windows=1, iters=args.steps)
+    print(f"# compiled in {stats['compile_s']:.1f}s", file=sys.stderr, flush=True)
+    prestaged_ms = stats["median_ms"]
     prestaged_ips = batch / (prestaged_ms / 1e3) / n_data
     print(f"# pre-staged: {prestaged_ms:.1f} ms/step, {prestaged_ips:.1f} img/s/chip",
           file=sys.stderr, flush=True)

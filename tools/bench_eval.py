@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from uda_clr_tpu.utils.benchmarking import cost_mfu, oom_message, timed_windows
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -67,9 +69,6 @@ def main():
         probs = jax.nn.sigmoid(outs.mask_logits.astype(jnp.float32))
         return probs, jnp.mean(probs)
 
-    from uda_clr_tpu.utils.devinfo import peak_tflops
-    peak = peak_tflops(jax.devices()[0].device_kind)
-
     rng = np.random.default_rng(0)
     rows = []
     probs_np = None
@@ -77,33 +76,17 @@ def main():
         try:
             image = jax.device_put(
                 rng.standard_normal((batch, size, size, 3)).astype(np.float32), sh)
-            t0 = time.time()
-            probs, chk = serve(variables, image)
-            float(chk)
-            compile_s = time.time() - t0
-            for _ in range(2):
-                _, chk = serve(variables, image)
-            float(chk)
-            window_ms = []
-            for _ in range(args.windows):
-                t0 = time.time()
-                for _ in range(args.iters):
-                    _, chk = serve(variables, image)
-                float(chk)
-                window_ms.append((time.time() - t0) / args.iters * 1000.0)
-            med = float(np.median(window_ms))
+
+            def serve_once(probs_prev):
+                probs, chk = serve(variables, image)
+                return probs, chk
+
+            probs, stats = timed_windows(serve_once, None,
+                                         windows=args.windows, iters=args.iters)
+            med, compile_s = stats["median_ms"], stats["compile_s"]
             if probs_np is None:
                 probs_np = np.asarray(jax.device_get(probs))[0]
-            mfu = tflops = None
-            try:
-                cost = serve.lower(variables, image).compile().cost_analysis()
-                if isinstance(cost, (list, tuple)):
-                    cost = cost[0]
-                tflops = float(cost["flops"]) / 1e12
-                if peak:
-                    mfu = tflops / (med / 1e3) / peak
-            except Exception as e:
-                print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+            mfu, tflops = cost_mfu(lambda: serve.lower(variables, image), med)
             row = {"batch": batch, "step_ms": round(med, 1),
                    "img_per_sec_chip": round(batch / (med / 1e3), 2),
                    "mfu": round(mfu, 4) if mfu is not None else None,
@@ -113,12 +96,9 @@ def main():
                   f"MFU {row['mfu']}", file=sys.stderr, flush=True)
             rows.append(row)
         except Exception as e:
-            msg = str(e)
-            cut = msg.lower().find("ran out of memory")
-            if cut >= 0:
-                msg = msg[cut:]
-            rows.append({"batch": batch, "error": msg[:160]})
-            print(f"# B{batch}: FAILED: {msg[:160]}", file=sys.stderr, flush=True)
+            msg = oom_message(e)
+            rows.append({"batch": batch, "error": msg})
+            print(f"# B{batch}: FAILED: {msg}", file=sys.stderr, flush=True)
 
     # host post-processing cost per image (serving pays this on CPU after
     # the chip; reference Utils.py:438-474 semantics)

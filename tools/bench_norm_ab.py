@@ -20,14 +20,13 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
+from uda_clr_tpu.utils.benchmarking import staged_train_batch, timed_windows
 from uda_clr_tpu.utils.devinfo import A100_REFERENCE_IMG_PER_SEC
 
 
@@ -54,45 +53,24 @@ def bench_norm(norm: str, size: int, batch: int, windows: int, iters: int):
     state = create_train_state(model, jax.random.PRNGKey(0), (batch, size, size, 3))
     state = jax.device_put(state, replicated_sharding(mesh))
 
-    rng = np.random.default_rng(0)
     sh = batch_sharding(mesh)
-    data = {
-        "image_s": jax.device_put(
-            rng.standard_normal((batch, size, size, 3)).astype(np.float32), sh),
-        "map_s": jax.device_put(
-            (rng.uniform(0, 1, (batch, size, size, 2)) > 0.5).astype(np.float32), sh),
-        "boundary_s": jax.device_put(
-            rng.uniform(0, 1, (batch, size, size, 1)).astype(np.float32), sh),
-        "image_t": jax.device_put(
-            rng.standard_normal((batch, size, size, 3)).astype(np.float32), sh),
-    }
+    data = staged_train_batch(batch, size, sh)
     step = make_train_step(model, cfg, "prototype_full", proto_phase=True)
 
-    t0 = time.time()
-    state, metrics = step(state, data, 1e-3, 2.5e-5, 30)
-    # data-dependent fetch = the only sound timing barrier on this relay
-    float(metrics["loss_all"])
-    compile_s = time.time() - t0
-    print(f"# [{norm}] compiled in {compile_s:.1f}s", file=sys.stderr, flush=True)
-    for _ in range(2):
-        state, metrics = step(state, data, 1e-3, 2.5e-5, 30)
-    float(metrics["loss_all"])
+    def step_once(st):
+        st, metrics = step(st, data, 1e-3, 2.5e-5, 30)
+        return st, metrics["loss_all"]
 
-    window_ms = []
-    for _ in range(windows):
-        t0 = time.time()
-        for _ in range(iters):
-            state, metrics = step(state, data, 1e-3, 2.5e-5, 30)
-        float(metrics["loss_all"])
-        window_ms.append((time.time() - t0) / iters * 1000.0)
-    window_ms.sort()
-    med = float(np.median(window_ms))
+    state, stats = timed_windows(step_once, state, windows=windows, iters=iters)
+    print(f"# [{norm}] compiled in {stats['compile_s']:.1f}s",
+          file=sys.stderr, flush=True)
+    med = stats["median_ms"]
     return {
         "norm": norm,
         "step_ms_median": round(med, 1),
-        "step_ms_windows": [round(w, 1) for w in window_ms],
+        "step_ms_windows": [round(w, 1) for w in stats["window_ms"]],
         "img_per_sec_chip": round(batch / (med / 1e3) / n_data, 2),
-        "compile_s": round(compile_s, 1),
+        "compile_s": round(stats["compile_s"], 1),
     }
 
 

@@ -42,7 +42,19 @@ _DECODE = {
     "map_t": None,
     "boundary": (255.0, 0.0),
     "boundary_s": (255.0, 0.0),
+    "boundary_t": (255.0, 0.0),
 }
+
+
+def _assert_decodable(key: str, x) -> None:
+    """uint8 arrays under an unknown key pass through ``_decode_one``
+    untouched — catch that loudly rather than scaling 0..255 values into a
+    loss."""
+    if getattr(x, "dtype", None) == np.uint8 and key not in _DECODE:
+        raise KeyError(
+            f"wire: no decode rule for uint8 batch key {key!r} "
+            f"(known: {sorted(_DECODE)}) — add it to wire._DECODE"
+        )
 
 
 def _decode_one(xp, key: str, x):
@@ -71,13 +83,17 @@ def decode_batch(batch: dict) -> dict:
     """Device-side (jnp) decode of a possibly-uint8 batch; fp32 keys and
     non-array entries pass through untouched. Called inside the jitted
     steps so the conversion compiles into the graph."""
+    for k, v in batch.items():
+        _assert_decodable(k, v)
     return {k: _decode_one(jnp, k, v) for k, v in batch.items()}
 
 
 def decode_array(key: str, x: np.ndarray) -> np.ndarray:
     """Host-side (numpy) decode of one sample/batch array, for the few
     host consumers (viz tiles, CPU metrics) of wire-format batches."""
-    return _decode_one(np, key, np.asarray(x))
+    x = np.asarray(x)
+    _assert_decodable(key, x)
+    return _decode_one(np, key, x)
 
 
 def encode_array(key: str, x: np.ndarray) -> np.ndarray:

@@ -197,11 +197,16 @@ class Trainer:
                 gen_params=restored.gen_params, gen_stats=restored.gen_stats,
                 dis_params=restored.dis_params, dis2_params=restored.dis2_params,
             )
-            print(
-                f"initial_resume: warm-started gen/dis/dis2 from {path} "
-                f"(epoch {meta.get('epoch')}, best_mean_dice "
-                f"{meta.get('best_mean_dice', 0.0):.4f})"
-            )
+            # the meta sidecar is a separate file from the orbax directory;
+            # a checkpoint dir copied without it restores fine but has no
+            # epoch/metric to report — don't fabricate one
+            if meta:
+                provenance = (f"epoch {meta.get('epoch')}, best_mean_dice "
+                              f"{float(meta.get('best_mean_dice', 0.0)):.4f}")
+            else:
+                provenance = "no meta sidecar found; params/stats restored"
+            print(f"initial_resume: warm-started gen/dis/dis2 from {path} "
+                  f"({provenance})")
         self.state = jax.device_put(state, self._replicated)
 
     def _resume(self, tag_or_dir: str):

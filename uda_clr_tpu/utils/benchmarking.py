@@ -1,0 +1,122 @@
+"""Shared device-benchmark scaffolding.
+
+One implementation of the compile + warmup + timed-window + median +
+cost-analysis methodology used by every throughput entry point
+(``bench.py``, ``tools/bench_batch_scaling.py``, ``tools/bench_eval.py``,
+``tools/bench_norm_ab.py``, ``tools/bench_e2e.py``), so a barrier or
+methodology fix lands once and the tools' numbers can't silently drift
+apart (the same rationale as ``utils/hostfeed.py`` for the host-fed side).
+
+Methodology notes baked in here:
+
+* Every clock stops on a data-dependent host fetch of a scalar produced by
+  the timed work — on this environment's tunneled TPU relay,
+  ``block_until_ready`` returns before device execution completes
+  (CLAUDE.md), so a fetch is the only sound barrier.
+* Steps chain through the carry, so one fetch at the end of a window
+  forces the whole sequence.
+* ``window_ms`` is reported sorted with its median: >=3 independent
+  windows keep one hot/cold relay window from moving a headline alone.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Any, Callable, Tuple
+
+import numpy as np
+
+StepOnce = Callable[[Any], Tuple[Any, Any]]
+
+
+def timed_windows(step_once: StepOnce, carry, windows: int = 5,
+                  iters: int = 10, warmup: int = 2):
+    """Compile (first call, timed), ``warmup`` extra calls, then ``windows``
+    timing windows of ``iters`` chained calls each.
+
+    ``step_once(carry) -> (carry, barrier)`` where ``barrier`` is a scalar
+    device array depending on the call's full computation; it is fetched
+    (``float``) to stop each clock.
+
+    Returns ``(carry, stats)`` with ``stats = {"compile_s", "window_ms"
+    (sorted), "median_ms"}``.
+    """
+    t0 = time.time()
+    carry, barrier = step_once(carry)
+    float(barrier)
+    compile_s = time.time() - t0
+    for _ in range(warmup):
+        carry, barrier = step_once(carry)
+    float(barrier)
+    window_ms = []
+    for _ in range(windows):
+        t0 = time.time()
+        for _ in range(iters):
+            carry, barrier = step_once(carry)
+        float(barrier)
+        window_ms.append((time.time() - t0) / iters * 1000.0)
+    window_ms.sort()
+    return carry, {
+        "compile_s": compile_s,
+        "window_ms": window_ms,
+        "median_ms": float(np.median(window_ms)),
+    }
+
+
+def cost_mfu(lower: Callable[[], Any], median_ms: float):
+    """Achieved model-FLOPs utilisation from XLA's own compiled cost
+    analysis against the chip's peak — self-contained, independent of any
+    external baseline estimate.
+
+    ``lower`` is a zero-arg callable returning ``jitted_fn.lower(*args)``.
+    ``cost_analysis()`` reports PER-DEVICE flops (post-SPMD partitioning;
+    verified on a sharded einsum over an 8-device mesh), so the result is
+    already per-chip. Returns ``(mfu, step_tflops)`` — ``(None, None)``
+    when the backend exposes no cost analysis (some relay backends).
+    """
+    import jax
+
+    from uda_clr_tpu.utils.devinfo import peak_tflops
+
+    try:
+        cost = lower().compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        tflops = float(cost["flops"]) / 1e12
+        peak = peak_tflops(jax.devices()[0].device_kind)
+        mfu = tflops / (median_ms / 1e3) / peak if peak else None
+        return mfu, tflops
+    except Exception as e:
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+        return None, None
+
+
+def oom_message(exc: BaseException, limit: int = 160) -> str:
+    """Compact one-line error for a failed (typically HBM-OOM) variant:
+    XLA prefixes pages of context before the interesting part."""
+    msg = str(exc)
+    cut = msg.lower().find("ran out of memory")
+    if cut >= 0:
+        msg = msg[cut:]
+    return msg[:limit]
+
+
+def staged_train_batch(batch: int, size: int, sh, seed: int = 0) -> dict:
+    """The standard pre-staged random train batch (image_s/map_s/
+    boundary_s/image_t at NHWC ``size``²), each array ``device_put`` with
+    sharding ``sh`` — the device-bound benchmark input shared by the bench
+    entry points."""
+    import jax
+
+    rng = np.random.default_rng(seed)
+    return {
+        "image_s": jax.device_put(
+            rng.standard_normal((batch, size, size, 3)).astype(np.float32), sh),
+        "map_s": jax.device_put(
+            (rng.uniform(0, 1, (batch, size, size, 2)) > 0.5).astype(np.float32), sh),
+        "boundary_s": jax.device_put(
+            rng.uniform(0, 1, (batch, size, size, 1)).astype(np.float32), sh),
+        "image_t": jax.device_put(
+            rng.standard_normal((batch, size, size, 3)).astype(np.float32), sh),
+    }

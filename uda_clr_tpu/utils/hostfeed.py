@@ -35,11 +35,19 @@ def h2d_probe(host_batch: dict, sh, loads: int = 6) -> tuple[float, int]:
     prefetch workers competing for the core inflate the number.
     """
     nbytes = sum(v.nbytes for v in host_batch.values())
-    t0 = time.time()
-    for _ in range(loads):
+
+    def _load_once():
         d = {k: jax.device_put(v, sh) for k, v in host_batch.items()}
         # fetch barrier depending on EVERY transferred array (relay-safe)
         float(sum(jnp.sum(v[0, 0, 0]) for v in d.values()))
+
+    # one untimed load first: the barrier's eager sum programs trace+compile
+    # on the first pass (once per dtype), and on the tunneled relay that
+    # one-time dispatch cost would otherwise land inside the timed window
+    _load_once()
+    t0 = time.time()
+    for _ in range(loads):
+        _load_once()
     return (time.time() - t0) / loads * 1000.0, nbytes
 
 
@@ -94,9 +102,17 @@ def host_fed_window(step, state, gen, sh, steps: int,
     return (time.time() - t0) / steps * 1000.0, state
 
 
-def pure_load_ms(gen, steps: int) -> float:
+def pure_load_ms(gen, steps: int, drain: int = 4) -> float:
     """Host-side loader throughput alone (augmentation + collation, no
-    device work): average ms per pulled batch pair."""
+    device work): average ms per pulled batch pair.
+
+    ``drain`` untimed pulls come first: callers reuse the generator from a
+    preceding ``host_fed_window``, whose device-bound phase left each
+    loader's prefetch queue full (``prefetch`` batches + one completed
+    batch blocked on the queue put per worker) — those batches return
+    instantly and would deflate the steady-state number by up to ~25%."""
+    for _ in range(drain):
+        next(gen)
     t0 = time.time()
     for _ in range(steps):
         next(gen)
