@@ -51,6 +51,11 @@ def main():
     # (flagship + on-device strong-aug consistency + discriminative source
     # regularizer); default is the flagship the headline number tracks.
     method = os.environ.get("UDA_BENCH_METHOD", "prototype_full")
+    # UDA_BENCH_WIRE=u8 measures the uint8 wire format end to end: the
+    # pre-staged batch is staged in u8 too, so the timed executable is the
+    # decode-inclusive one and device_fraction compares like programs
+    # (data/wire.py). Default stays f32 for cross-round comparability.
+    wire = os.environ.get("UDA_BENCH_WIRE", "f32")
 
     # UDA_BENCH_SIZE/UDA_BENCH_BATCH exist ONLY so the full script can be
     # smoke-tested at toy shapes on the CPU backend; the driver runs the
@@ -77,7 +82,7 @@ def main():
     state = jax.device_put(state, replicated_sharding(mesh))
 
     sh = batch_sharding(mesh)
-    data = staged_train_batch(batch, size, sh)
+    data = staged_train_batch(batch, size, sh, wire=wire)
 
     step = make_train_step(model, cfg, method, proto_phase=True)
 
@@ -115,22 +120,11 @@ def main():
         from uda_clr_tpu.data import SyntheticFundus, train_transforms
         from uda_clr_tpu.utils import hostfeed
 
-        # UDA_BENCH_WIRE=u8 measures the uint8 wire format (4x smaller
-        # H2D + uint8 collate; bit-exact decode inside the jitted step —
-        # data/wire.py). Default stays f32 for cross-round comparability.
-        wire = os.environ.get("UDA_BENCH_WIRE", "f32")
-
         # pure H2D transfer of one step batch, measured BEFORE any loader
         # exists (prefetch threads competing for this box's single core
-        # would otherwise inflate it)
+        # would otherwise inflate it); `data` is already in the wire
+        # format, so this is the wire-format transfer cost
         one = {k: np.asarray(jax.device_get(v)) for k, v in data.items()}
-        if wire == "u8":
-            # same shapes, wire dtype (the pre-staged arrays are random
-            # normals, not encodable values; transfer cost only needs
-            # shape+dtype)
-            h2d_rng = np.random.default_rng(7)
-            one = {k: h2d_rng.integers(0, 256, v.shape).astype(np.uint8)
-                   for k, v in one.items()}
         h2d_ms, nbytes = hostfeed.h2d_probe(one, sh)
 
         workers = min(2, os.cpu_count() or 1)
@@ -146,7 +140,7 @@ def main():
         # with the h2d number above this decomposes the host-fed step — on
         # this tunneled-relay box the ~75 MB/step device_put dominates,
         # production PCIe hosts move it in ~10 ms
-        load_ms = hostfeed.pure_load_ms(gen, hf_steps)
+        load_ms = hostfeed.pure_load_ms(gen, hf_steps, workers=workers)
         host_fed = {
             "step_ms": round(hf_ms, 1),
             "img_per_sec_chip": round(batch / (hf_ms / 1e3) / n_data, 2),
@@ -166,7 +160,8 @@ def main():
     ips_per_chip = batch / (med_ms / 1e3) / n_data
     result = {
         "metric": f"{method} train throughput ({size}x{size}, B{batch}, T=8 MC, bf16"
-        + (", TransNorm)" if norm == "tn" else ")"),
+        + (", TransNorm" if norm == "tn" else "")
+        + (", u8 wire)" if wire == "u8" else ")"),
         "value": round(ips_per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips_per_chip / A100_REFERENCE_IMG_PER_SEC, 3),

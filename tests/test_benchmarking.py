@@ -55,6 +55,26 @@ def test_staged_train_batch_contract():
     assert set(np.unique(binary)) <= {0.0, 1.0}
 
 
+def test_staged_train_batch_u8_wire_decodes():
+    """wire='u8' must stage uint8 wire-format arrays whose in-graph decode
+    is valid (so UDA_BENCH_WIRE=u8 times the decode-inclusive executable
+    rather than an f32-compiled baseline)."""
+    from uda_clr_tpu.data.wire import decode_batch
+    from uda_clr_tpu.parallel.mesh import batch_sharding, get_mesh
+
+    sh = batch_sharding(get_mesh((1,)))
+    data = staged_train_batch(4, 32, sh, wire="u8")
+    assert set(data) == {"image_s", "map_s", "boundary_s", "image_t"}
+    for v in data.values():
+        assert v.dtype == jnp.uint8
+    dec = jax.jit(decode_batch)(data)
+    img = np.asarray(dec["image_s"])
+    assert img.dtype == np.float32 and img.min() >= -1.0 and img.max() <= 1.0
+    assert set(np.unique(np.asarray(dec["map_s"]))) <= {0.0, 1.0}
+    bnd = np.asarray(dec["boundary_s"])
+    assert bnd.min() >= 0.0 and bnd.max() <= 1.0
+
+
 def test_cost_mfu_never_raises():
     @jax.jit
     def f(x):

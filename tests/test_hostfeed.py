@@ -82,3 +82,23 @@ def test_pure_load_ms_drains_before_timing():
 
     hostfeed.pure_load_ms(gen(), steps=3, drain=4)
     assert len(pulled) == 7  # 4 drained + 3 timed
+
+
+def test_pure_load_ms_drain_scales_with_workers():
+    """The ready backlog after a device-bound window is prefetch batches
+    plus one blocked batch per worker; the default drain must scale with
+    the caller's worker count or high-worker rows under-drain and deflate
+    (the exact skew the drain exists to remove)."""
+    from uda_clr_tpu.utils import hostfeed
+
+    for workers, prefetch in ((1, 2), (4, 2), (2, 5)):
+        pulled = []
+
+        def gen():
+            while True:
+                pulled.append(0)
+                yield (None, None)
+
+        hostfeed.pure_load_ms(gen(), steps=2, workers=workers,
+                              prefetch=prefetch)
+        assert len(pulled) == (prefetch + workers + 1) + 2

@@ -114,7 +114,7 @@ def main():
         ms, state = hostfeed.host_fed_window(step, state, gen, sh, args.steps)
         ips = batch / (ms / 1e3) / n_data
         # pure loader throughput at this worker count (no device work)
-        load_ms = hostfeed.pure_load_ms(gen, args.steps)
+        load_ms = hostfeed.pure_load_ms(gen, args.steps, workers=workers)
         gen.close()  # don't let this row's workers pollute the next row
         time.sleep(0.5)
         rows.append({"workers": workers, "step_ms": round(ms, 1),

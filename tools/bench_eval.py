@@ -61,11 +61,16 @@ def main():
     sh = batch_sharding(mesh)
 
     @jax.jit
-    def serve(variables, image):
+    def serve(variables, image, token):
         """The deployed forward: eval-mode dual-head DeepLab -> cup/disc
         sigmoid probabilities (fp32, ready for host postprocessing). The
-        scalar checksum is the relay-safe timing barrier (CLAUDE.md)."""
-        outs = model.apply(variables, image.astype(dtype), train=False)
+        scalar checksum is the relay-safe timing barrier (CLAUDE.md);
+        ``token`` (the previous call's checksum) is folded into the input
+        so consecutive serve calls CHAIN on device — timed_windows'
+        end-of-window fetch then provably forces the whole sequence (XLA
+        cannot fold ``0.0 * token`` away: floats admit NaN/Inf)."""
+        outs = model.apply(variables, (image + 0.0 * token).astype(dtype),
+                           train=False)
         probs = jax.nn.sigmoid(outs.mask_logits.astype(jnp.float32))
         return probs, jnp.mean(probs)
 
@@ -77,16 +82,21 @@ def main():
             image = jax.device_put(
                 rng.standard_normal((batch, size, size, 3)).astype(np.float32), sh)
 
-            def serve_once(probs_prev):
-                probs, chk = serve(variables, image)
-                return probs, chk
+            token0 = jnp.float32(0.0)
 
-            probs, stats = timed_windows(serve_once, None,
-                                         windows=args.windows, iters=args.iters)
+            def serve_once(carry):
+                _, token = carry
+                probs, chk = serve(variables, image, token)
+                return (probs, chk), chk
+
+            (probs, _), stats = timed_windows(serve_once, (None, token0),
+                                              windows=args.windows,
+                                              iters=args.iters)
             med, compile_s = stats["median_ms"], stats["compile_s"]
             if probs_np is None:
                 probs_np = np.asarray(jax.device_get(probs))[0]
-            mfu, tflops = cost_mfu(lambda: serve.lower(variables, image), med)
+            mfu, tflops = cost_mfu(
+                lambda: serve.lower(variables, image, token0), med)
             row = {"batch": batch, "step_ms": round(med, 1),
                    "img_per_sec_chip": round(batch / (med / 1e3), 2),
                    "mfu": round(mfu, 4) if mfu is not None else None,

@@ -279,7 +279,7 @@ class Normalize_tf:
                 "img_name": sample["img_name"],
             }
         return {
-            "image": (img_raw.astype(np.float32) / 127.5 - 1.0).astype(np.float32),
+            "image": img_raw.astype(np.float32) / 127.5 - 1.0,
             "map": mask.astype(np.float32),
             "boundary": (boundary_u8 / 255.0)[..., None].astype(np.float32),
             "img_name": sample["img_name"],

@@ -102,21 +102,33 @@ def oom_message(exc: BaseException, limit: int = 160) -> str:
     return msg[:limit]
 
 
-def staged_train_batch(batch: int, size: int, sh, seed: int = 0) -> dict:
+def staged_train_batch(batch: int, size: int, sh, seed: int = 0,
+                       wire: str = "f32") -> dict:
     """The standard pre-staged random train batch (image_s/map_s/
     boundary_s/image_t at NHWC ``size``²), each array ``device_put`` with
     sharding ``sh`` — the device-bound benchmark input shared by the bench
-    entry points."""
+    entry points.
+
+    ``wire="u8"`` stages the batch in the uint8 wire format
+    (``data/wire.py``) so the timed executable is the one that includes the
+    in-graph decode — otherwise a u8 host-fed window would be compared
+    against an f32-compiled device baseline and the (tiny) decode cost
+    would be misattributed to host overhead."""
     import jax
 
     rng = np.random.default_rng(seed)
-    return {
-        "image_s": jax.device_put(
-            rng.standard_normal((batch, size, size, 3)).astype(np.float32), sh),
-        "map_s": jax.device_put(
-            (rng.uniform(0, 1, (batch, size, size, 2)) > 0.5).astype(np.float32), sh),
-        "boundary_s": jax.device_put(
-            rng.uniform(0, 1, (batch, size, size, 1)).astype(np.float32), sh),
-        "image_t": jax.device_put(
-            rng.standard_normal((batch, size, size, 3)).astype(np.float32), sh),
-    }
+    if wire == "u8":
+        arrs = {
+            "image_s": rng.integers(0, 256, (batch, size, size, 3), dtype=np.uint8),
+            "map_s": rng.integers(0, 2, (batch, size, size, 2), dtype=np.uint8),
+            "boundary_s": rng.integers(0, 256, (batch, size, size, 1), dtype=np.uint8),
+            "image_t": rng.integers(0, 256, (batch, size, size, 3), dtype=np.uint8),
+        }
+    else:
+        arrs = {
+            "image_s": rng.standard_normal((batch, size, size, 3)).astype(np.float32),
+            "map_s": (rng.uniform(0, 1, (batch, size, size, 2)) > 0.5).astype(np.float32),
+            "boundary_s": rng.uniform(0, 1, (batch, size, size, 1)).astype(np.float32),
+            "image_t": rng.standard_normal((batch, size, size, 3)).astype(np.float32),
+        }
+    return {k: jax.device_put(v, sh) for k, v in arrs.items()}

@@ -102,7 +102,8 @@ def host_fed_window(step, state, gen, sh, steps: int,
     return (time.time() - t0) / steps * 1000.0, state
 
 
-def pure_load_ms(gen, steps: int, drain: int = 4) -> float:
+def pure_load_ms(gen, steps: int, drain: int | None = None,
+                 workers: int = 1, prefetch: int = 2) -> float:
     """Host-side loader throughput alone (augmentation + collation, no
     device work): average ms per pulled batch pair.
 
@@ -110,7 +111,13 @@ def pure_load_ms(gen, steps: int, drain: int = 4) -> float:
     preceding ``host_fed_window``, whose device-bound phase left each
     loader's prefetch queue full (``prefetch`` batches + one completed
     batch blocked on the queue put per worker) — those batches return
-    instantly and would deflate the steady-state number by up to ~25%."""
+    instantly and would deflate the steady-state number by up to ~25%.
+    When ``drain`` is None it is sized from that model
+    (``prefetch + workers + 1``), so higher worker counts drain their
+    correspondingly deeper ready backlog; pass the loader's ``workers`` /
+    ``prefetch`` alongside."""
+    if drain is None:
+        drain = prefetch + workers + 1
     for _ in range(drain):
         next(gen)
     t0 = time.time()
