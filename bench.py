@@ -27,12 +27,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from uda_clr_tpu.utils.benchmarking import cost_mfu, staged_train_batch, timed_windows
+from uda_clr_tpu.utils.benchmarking import (
+    cost_mfu,
+    enable_persistent_compile_cache,
+    staged_train_batch,
+    timed_windows,
+)
 from uda_clr_tpu.utils.devinfo import A100_REFERENCE_IMG_PER_SEC
 
 
 def main():
     import os
+
+    enable_persistent_compile_cache()
 
     from uda_clr_tpu.config import Config
     from uda_clr_tpu.models.deeplab import DeepLab

@@ -70,6 +70,9 @@ def run_variant(name, mc_fast, mask_head_impl, steps, size, batch):
 
 
 def main():
+    from uda_clr_tpu.utils.benchmarking import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--size", type=int, default=256)

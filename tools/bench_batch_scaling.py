@@ -28,11 +28,13 @@ import jax
 import jax.numpy as jnp
 
 from uda_clr_tpu.utils.benchmarking import (
-    cost_mfu, oom_message, staged_train_batch, timed_windows,
+    cost_mfu, enable_persistent_compile_cache, oom_message, staged_train_batch,
+    timed_windows,
 )
 
 
 def main():
+    enable_persistent_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="8,16,32")
     ap.add_argument("--size", type=int, default=512)

@@ -51,7 +51,12 @@ def main():
     from uda_clr_tpu.train.state import create_train_state
     from uda_clr_tpu.train.steps import make_train_step
     from uda_clr_tpu.utils import hostfeed
-    from uda_clr_tpu.utils.benchmarking import timed_windows
+    from uda_clr_tpu.utils.benchmarking import (
+        enable_persistent_compile_cache,
+        timed_windows,
+    )
+
+    enable_persistent_compile_cache()
 
     set_dropout_impl(os.environ.get("UDA_DROPOUT_IMPL", "xla16"))
     size, batch = args.size, args.batch

@@ -32,10 +32,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from uda_clr_tpu.utils.benchmarking import cost_mfu, oom_message, timed_windows
+from uda_clr_tpu.utils.benchmarking import (
+    cost_mfu, enable_persistent_compile_cache, oom_message, timed_windows,
+)
 
 
 def main():
+    enable_persistent_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--batches", default="8,32,64")

@@ -26,7 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from uda_clr_tpu.utils.benchmarking import staged_train_batch, timed_windows
+from uda_clr_tpu.utils.benchmarking import (
+    enable_persistent_compile_cache,
+    staged_train_batch,
+    timed_windows,
+)
 from uda_clr_tpu.utils.devinfo import A100_REFERENCE_IMG_PER_SEC
 
 
@@ -75,6 +79,7 @@ def bench_norm(norm: str, size: int, batch: int, windows: int, iters: int):
 
 
 def main():
+    enable_persistent_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--batch", type=int, default=8)

@@ -22,6 +22,9 @@ import numpy as np
 
 
 def main():
+    from uda_clr_tpu.utils.benchmarking import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--top", type=int, default=40)

@@ -21,6 +21,7 @@ Methodology notes baked in here:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from typing import Any, Callable, Tuple
@@ -28,6 +29,43 @@ from typing import Any, Callable, Tuple
 import numpy as np
 
 StepOnce = Callable[[Any], Tuple[Any, Any]]
+
+
+def enable_persistent_compile_cache(cache_dir: str | None = None) -> None:
+    """Best-effort enable of JAX's persistent compilation cache.
+
+    A full-step TPU compile costs ~6 minutes over this environment's
+    tunneled relay (and ~3 minutes per variant on the CPU backend — see
+    ``__graft_entry__.dryrun_multichip``), so every benchmark entry point
+    enables the on-disk executable cache before building anything: repeat
+    runs of an unchanged program then compile in seconds. Cache misses and
+    deserialization failures fall back to a normal compile (JAX raises
+    persistent-cache errors only when ``jax_raise_persistent_cache_errors``
+    is set, which we never do), so this is strictly an accelerator.
+
+    Default directory: ``$UDA_COMPILE_CACHE`` or ``.jax_cache`` next to the
+    repo root (two levels above this package) when that exists, else
+    ``~/.cache/uda_clr_tpu/xla``. Timing windows are unaffected — they
+    start after the (timed, reported) first call.
+    """
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.environ.get("UDA_COMPILE_CACHE")
+    if cache_dir is None:
+        # repo checkout (bench.py present two levels up): share the same
+        # .jax_cache the multichip dryrun uses; pip-installed: user cache.
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        if os.path.isfile(os.path.join(repo, "bench.py")):
+            cache_dir = os.path.join(repo, ".jax_cache")
+        else:
+            cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "uda_clr_tpu", "xla")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # never let cache plumbing break a benchmark
+        print(f"# persistent compile cache unavailable: {e}", file=sys.stderr)
 
 
 def timed_windows(step_once: StepOnce, carry, windows: int = 5,
