@@ -97,6 +97,53 @@ def test_forever_fast_forward_is_position_exact():
         np.testing.assert_array_equal(got2["image"], want[k + 1]["image"])
 
 
+def test_process_backend_matches_thread_backend():
+    """The fork-process worker pool must produce the bit-identical batch
+    stream as the thread pool (same (seed, epoch, bi, j) per-sample rng
+    contract), including across the forever() fast-forward path."""
+    ds = SyntheticFundus(n=5, size=96, transform=train_transforms(64))
+    mk = lambda backend: BatchLoader(ds, batch_size=2, shuffle=True, seed=3,
+                                     num_workers=2, backend=backend)
+    thread_gen = mk("thread").forever()
+    want = [next(thread_gen) for _ in range(5)]
+    got_gen = mk("process").forever()
+    for k in range(5):
+        got = next(got_gen)
+        np.testing.assert_array_equal(got["image"], want[k]["image"])
+        np.testing.assert_array_equal(got["map"], want[k]["map"])
+        np.testing.assert_array_equal(got["boundary"], want[k]["boundary"])
+        assert got["img_name"] == want[k]["img_name"]
+    # fast-forward entry is position-exact on the process backend too
+    ff = mk("process").forever(start_batch=3)
+    np.testing.assert_array_equal(next(ff)["image"], want[3]["image"])
+
+
+def test_process_backend_propagates_worker_exception():
+    """A worker-process failure must surface in the consumer (pickled back
+    through the pool), not hang or kill the run silently."""
+    import pytest
+
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def get(self, index, rng):
+            raise OSError(f"corrupt sample {index}")
+
+    loader = BatchLoader(Broken(), batch_size=2, shuffle=False, num_workers=2,
+                         backend="process")
+    with pytest.raises(RuntimeError, match="corrupt sample"):
+        list(loader.epoch(0))
+
+
+def test_loader_rejects_unknown_backend():
+    import pytest
+
+    ds = SyntheticFundus(n=2, size=96, transform=eval_transforms(64))
+    with pytest.raises(ValueError, match="backend"):
+        BatchLoader(ds, batch_size=2, backend="greenlet")
+
+
 def test_loader_propagates_worker_exception():
     """A failing dataset.get (corrupt file, transform bug) must surface in
     the consumer as an exception, not hang q.get() forever."""

@@ -63,9 +63,16 @@ def build_config(argv=None) -> Config:
                    help="warm-start checkpoint (BEAL bootstrap)")
     p.add_argument("--seed", type=int, default=1337)
     p.add_argument("--num-workers", type=int, default=2)
-    p.add_argument("--wire", default="f32", choices=("f32", "u8"),
-                   help="host->device batch format: u8 ships uint8 + "
-                        "decodes on device (bit-exact, 4x less transfer)")
+    p.add_argument("--loader-backend", default="thread",
+                   choices=("thread", "process"),
+                   help="loader worker model: threads (zero IPC) or forked "
+                        "processes (the reference's DataLoader model; full "
+                        "per-core scaling)")
+    p.add_argument("--wire", default="u8", choices=("f32", "u8"),
+                   help="host->device batch format: u8 (default) ships uint8 "
+                        "+ decodes on device (bit-exact vs f32 — proven by "
+                        "tests/test_wire.py — with 4x less transfer); f32 is "
+                        "the opt-in reference-contract parity mode")
     p.add_argument("--profile", action="store_true",
                    help="capture one XLA trace window (steps 3-8 of the first "
                         "epoch) into <out>/profile")
@@ -95,6 +102,7 @@ def build_config(argv=None) -> Config:
     cfg.data.image_size = args.image_size
     cfg.data.batch_size = args.batch_size
     cfg.data.num_workers = args.num_workers
+    cfg.data.loader_backend = args.loader_backend
     cfg.data.wire = args.wire
     cfg.data.synthetic = args.synthetic
     cfg.optim.lr_gen = args.lr_gen

@@ -36,9 +36,15 @@ class DataConfig:
     image_size: int = 512
     batch_size: int = 8
     num_workers: int = 2
-    # host->device wire format: "f32" (reference contract) or "u8" (uint8
-    # batches + on-device decode — bit-exact, 4x less transfer; data/wire.py)
-    wire: str = "f32"
+    # loader worker model: "thread" (zero-IPC, partial GIL scaling) or
+    # "process" (fork workers, full per-core scaling — the reference's
+    # DataLoader(num_workers=6) model; data/pipeline.py docstring)
+    loader_backend: str = "thread"
+    # host->device wire format: "u8" (uint8 batches + on-device decode —
+    # bit-exact vs f32 per tests/test_wire.py, 4x less transfer; the
+    # production default) or "f32" (the reference's contract, kept as the
+    # opt-in parity mode; data/wire.py)
+    wire: str = "u8"
     synthetic: bool = False  # tests/benchmarks without the real datasets
     synthetic_size: int = 16
 

@@ -1,16 +1,36 @@
 """Batched, prefetching host->device input pipeline.
 
 Replaces the reference's ``torch.utils.data.DataLoader(num_workers=6,
-pin_memory=True)`` (train_use_fix_initial.py:170-177) with a
-thread-prefetched numpy batcher: worker threads run the (GIL-releasing
-PIL/scipy) transform pipeline and a background thread keeps a bounded queue
-of ready batches so the TPU step never waits on augmentation. Device
-placement happens in the trainer via ``jax.device_put`` with the mesh
-sharding, so batches land already sharded across chips.
+pin_memory=True)`` (train_use_fix_initial.py:170-177) with a prefetched
+numpy batcher offering BOTH worker models:
+
+* ``backend="thread"`` — a ``ThreadPoolExecutor`` runs the (largely
+  GIL-releasing PIL/scipy/C++) transform pipeline; zero IPC cost, but
+  residual GIL-held numpy glue caps multi-core scaling
+  (tools/bench_loader_backend.py measures the held fraction).
+* ``backend="process"`` — a fork-context ``multiprocessing.Pool`` matching
+  the reference's ``num_workers=6`` worker *processes*: full per-core
+  scaling; samples come back pickled (cheap at the uint8 wire's ~1.8
+  MB/sample — data/wire.py).
+
+Either way a background producer thread keeps a bounded queue of ready
+batches so the TPU step never waits on augmentation, and the per-sample
+augmentation rng is derived from ``(seed, epoch, batch, j)`` — so the two
+backends and any worker count produce bit-identical streams
+(tests/test_data.py::test_process_backend_matches_thread_backend).
+
+Fork caveat: worker processes are forked from a parent that may hold a
+live TPU client; workers only ever touch numpy/PIL (never JAX) and exit
+via ``os._exit`` (multiprocessing skips atexit), the same discipline
+torch's DataLoader relies on under CUDA.
+
+Device placement happens in the trainer via ``jax.device_put`` with the
+mesh sharding, so batches land already sharded across chips.
 """
 
 from __future__ import annotations
 
+import multiprocessing
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -18,6 +38,21 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 _BATCH_KEYS = ("image", "map", "boundary")
+
+# fork-inherited dataset handle for process-backend workers: passed once
+# through Pool(initargs=...) (inherited by fork, not pickled) so per-task
+# IPC carries only (index, seed-tuple) down and one sample dict back up
+_WORKER_DATASET = None
+
+
+def _process_worker_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _process_worker_get(task):
+    idx, seed_key = task
+    return _WORKER_DATASET.get(idx, np.random.default_rng(seed_key))
 
 
 def collate(samples) -> dict:
@@ -47,7 +82,12 @@ class BatchLoader:
         drop_last: bool = True,
         num_workers: int = 2,
         prefetch: int = 2,
+        backend: str = "thread",
     ):
+        if backend not in ("thread", "process"):
+            raise ValueError(
+                f"BatchLoader backend must be 'thread' or 'process', got {backend!r}"
+            )
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -55,6 +95,7 @@ class BatchLoader:
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        self.backend = backend
         self._epoch = 0
 
     def __len__(self):
@@ -102,21 +143,34 @@ class BatchLoader:
                     continue
             return False
 
+        def _run(map_samples):
+            for bi in range(start, len(batches)):
+                if stop.is_set():
+                    return False
+                idx = batches[bi]
+                keys = [(self.seed, epoch, bi, j) for j in range(len(idx))]
+                if not _put(collate(map_samples(idx, keys))):
+                    return False
+            return True
+
         def produce():
             try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
-                    for bi in range(start, len(batches)):
-                        if stop.is_set():
-                            return
-                        idx = batches[bi]
-                        rngs = [
-                            np.random.default_rng((self.seed, epoch, bi, j))
-                            for j in range(len(idx))
-                        ]
-                        samples = list(pool.map(lambda a: self.dataset.get(*a), zip(idx, rngs)))
-                        if not _put(collate(samples)):
-                            return
-                _put(None)
+                if self.backend == "process":
+                    ctx = multiprocessing.get_context("fork")
+                    with ctx.Pool(
+                        self.num_workers,
+                        initializer=_process_worker_init,
+                        initargs=(self.dataset,),
+                    ) as pool:
+                        done = _run(lambda idx, keys: pool.map(
+                            _process_worker_get, list(zip(idx, keys))))
+                else:
+                    with ThreadPoolExecutor(self.num_workers) as pool:
+                        done = _run(lambda idx, keys: list(pool.map(
+                            lambda a: self.dataset.get(a[0], np.random.default_rng(a[1])),
+                            zip(idx, keys))))
+                if done:
+                    _put(None)
             except BaseException as e:
                 # surface dataset/transform failures to the consumer instead
                 # of dying silently (which would hang q.get() forever); torch

@@ -52,17 +52,19 @@ def h2d_probe(host_batch: dict, sh, loads: int = 6) -> tuple[float, int]:
 
 
 def paired_batches(ds_s, ds_t, batch: int, workers: int,
-                   prefetch: int = 2, epochs: int = 10**6) -> Iterator[tuple]:
-    """(source, target) HOST batches from two fresh threaded loaders, epoch
-    after epoch — the ``Trainer.train_epoch`` feeding pattern. Fresh
-    ``BatchLoader``s per call: each ``epoch()`` spins its own worker
-    threads, so abandoned iterators are safe."""
+                   prefetch: int = 2, epochs: int = 10**6,
+                   backend: str = "thread") -> Iterator[tuple]:
+    """(source, target) HOST batches from two fresh loaders, epoch after
+    epoch — the ``Trainer.train_epoch`` feeding pattern. Fresh
+    ``BatchLoader``s per call: each ``epoch()`` spins its own workers, so
+    abandoned iterators are safe. ``backend`` selects thread or forked
+    process workers (data/pipeline.py)."""
     from uda_clr_tpu.data.pipeline import BatchLoader
 
     loader_s = BatchLoader(ds_s, batch_size=batch, num_workers=workers,
-                           prefetch=prefetch)
+                           prefetch=prefetch, backend=backend)
     loader_t = BatchLoader(ds_t, batch_size=batch, num_workers=workers,
-                           prefetch=prefetch)
+                           prefetch=prefetch, backend=backend)
     if len(loader_s) == 0 or len(loader_t) == 0:
         raise ValueError(
             f"paired_batches: a dataset yields zero batches per epoch "
