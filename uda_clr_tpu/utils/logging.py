@@ -61,9 +61,19 @@ class CsvLogger:
                 f.write(",".join(str(c) for c in cells) + "\n")
 
     def write_valid_row(self, epoch, iteration, loss, cup_dice, disc_dice, best_epoch) -> None:
+        """Validation row: blanks under the six train columns, then
+        loss_CE / cup_dice / disc_dice / elapsed under their headers, with
+        the best-model note as a 13th overflow cell.
+
+        ★ deviation: the reference pads only FIVE blanks under its
+        six-column train section (Trainer_prototype_full.py:214-215),
+        shifting every validation metric one column left of its header
+        (elapsed_time lands under valid/disc_dice). Surfaced by the
+        round-5 500-epoch protocol run (docs/round5_production_500ep_*);
+        fixed here, tested by tests/test_logging.py."""
         cells = (
             [epoch, iteration]
-            + [""] * 5
+            + [""] * 6
             + [loss, cup_dice, disc_dice, self.elapsed(), f"best model epoch: {best_epoch}"]
         )
         with open(self.path, "a") as f:
