@@ -136,6 +136,34 @@ def test_process_backend_propagates_worker_exception():
         list(loader.epoch(0))
 
 
+def test_process_sharded_loading_partitions_global_stream():
+    """Multi-process DP loading (parallel/distributed.py): each process's
+    slice of every batch must concatenate to the single-process global
+    batch bit-exactly — same composition AND same per-sample augmentation
+    (global (seed, epoch, bi, global_j) rng keys)."""
+    import pytest
+
+    ds = SyntheticFundus(n=8, size=96, transform=train_transforms(64))
+    full = next(BatchLoader(ds, 4, shuffle=True, seed=5, num_workers=1).epoch(0))
+    parts = [
+        next(BatchLoader(ds, 4, shuffle=True, seed=5, num_workers=1,
+                         process_index=i, process_count=2).epoch(0))
+        for i in (0, 1)
+    ]
+    assert parts[0]["image"].shape[0] == 2
+    for k in ("image", "map", "boundary"):
+        np.testing.assert_array_equal(
+            np.concatenate([p[k] for p in parts]), full[k])
+    assert parts[0]["img_name"] + parts[1]["img_name"] == full["img_name"]
+
+    with pytest.raises(ValueError, match="divide evenly"):
+        BatchLoader(ds, 5, process_index=0, process_count=2)
+    with pytest.raises(ValueError, match="drop_last"):
+        BatchLoader(ds, 4, drop_last=False, process_index=0, process_count=2)
+    with pytest.raises(ValueError, match="out of range"):
+        BatchLoader(ds, 4, process_index=2, process_count=2)
+
+
 def test_loader_rejects_unknown_backend():
     import pytest
 

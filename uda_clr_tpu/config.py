@@ -126,6 +126,13 @@ class RunConfig:
     resume: Optional[str] = None
     initial_resume: Optional[str] = None  # BEAL warm-start checkpoint
     mesh_shape: Optional[tuple] = None  # e.g. (8,) data-parallel; None = all devices
+    # multi-process data parallelism (parallel/distributed.py): set
+    # dist_coordinator ("host:port" of process 0) to enable; each process
+    # then loads 1/dist_num_processes of every global batch and the jitted
+    # step runs over the global mesh (grad/BN reductions ride ICI/DCN)
+    dist_coordinator: Optional[str] = None
+    dist_num_processes: int = 1
+    dist_process_id: int = 0
     profile: bool = False
     save_val_images: bool = False  # joint [img|gt|cup|disc] strips per validation
     viz_every: int = 30  # train-time TB image grids every N iterations (0 = off)

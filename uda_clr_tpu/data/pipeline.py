@@ -83,11 +83,36 @@ class BatchLoader:
         num_workers: int = 2,
         prefetch: int = 2,
         backend: str = "thread",
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """``process_index``/``process_count``: multi-process data
+        parallelism (jax.distributed — parallel/distributed.py). Every
+        process derives the SAME global epoch order and batch composition
+        from the shared seed, then loads only its ``batch_size //
+        process_count`` slice of each global batch; per-sample rngs stay
+        keyed by the GLOBAL position ``(seed, epoch, bi, global_j)``, so
+        the union of the processes' streams is bit-identical to the
+        single-process stream (tools/dryrun_multiprocess_dp.py)."""
         if backend not in ("thread", "process"):
             raise ValueError(
                 f"BatchLoader backend must be 'thread' or 'process', got {backend!r}"
             )
+        if process_count > 1:
+            if batch_size % process_count:
+                raise ValueError(
+                    f"global batch_size {batch_size} must divide evenly over "
+                    f"{process_count} processes"
+                )
+            if not drop_last:
+                raise ValueError(
+                    "process-sharded loading requires drop_last=True "
+                    "(a partial final batch cannot split evenly)"
+                )
+            if not 0 <= process_index < process_count:
+                raise ValueError(
+                    f"process_index {process_index} out of range [0, {process_count})"
+                )
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -96,6 +121,8 @@ class BatchLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.backend = backend
+        self.process_index = process_index
+        self.process_count = process_count
         self._epoch = 0
 
     def __len__(self):
@@ -143,12 +170,17 @@ class BatchLoader:
                     continue
             return False
 
+        per = self.batch_size // self.process_count
+        lo = self.process_index * per
+
         def _run(map_samples):
             for bi in range(start, len(batches)):
                 if stop.is_set():
                     return False
                 idx = batches[bi]
-                keys = [(self.seed, epoch, bi, j) for j in range(len(idx))]
+                if self.process_count > 1:
+                    idx = idx[lo : lo + per]
+                keys = [(self.seed, epoch, bi, lo + j) for j in range(len(idx))]
                 if not _put(collate(map_samples(idx, keys))):
                     return False
             return True
