@@ -494,11 +494,15 @@ def mean_teacher_iteration(
     consistency_weight: float,
     ema_decay: float = 0.99,
     adv_weight: float = 0.01,
+    teacher_noise: float = 0.0,
 ):
     """One Trainer_MT iteration (bytecode-only; instruction-verified via
     tools/pyc_disasm.py — objective at :356, consistency at :239/:339, EMA
-    at :30-34). Teacher noise is OFF (the framework's teacher_noise=0
-    configuration) so the step is deterministic.
+    at :30-34). Teacher noise defaults OFF (the framework's
+    teacher_noise=0 configuration) so the step is deterministic;
+    ``teacher_noise`` > 0 adds the bytecode's ``randn``-scaled noise to the
+    teacher's input (torch RNG — not alignable with the JAX side; used by
+    tools/ab_mt_noise_sigma.py to bound the unextractable sigma constant).
 
     Reproduces the framework's ONE documented deviation: the teacher's BN
     buffers are copied from the student after each step (the reference EMAs
@@ -523,7 +527,10 @@ def mean_teacher_iteration(
 
     teacher.eval()
     with torch.no_grad():
-        oT_teacher, *_ = teacher(image_t)
+        t_in = image_t
+        if teacher_noise > 0.0:
+            t_in = image_t + teacher_noise * torch.randn_like(image_t)
+        oT_teacher, *_ = teacher(t_in)
 
     # student: target first, then source (the fused domains=2 forward's
     # per-half BN == the reference's separate forwards, T-then-S stats)
