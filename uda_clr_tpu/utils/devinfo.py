@@ -25,3 +25,21 @@ def peak_tflops(device_kind: str):
     generation isn't in the table (MFU is then skipped, not wrong)."""
     kind = device_kind.lower()
     return next((v for k, v in PEAK_TFLOPS.items() if k in kind), None)
+
+
+# HBM bandwidth GB/s per chip, keyed like PEAK_TFLOPS (public spec sheets;
+# used by tools/roofline_closure.py to place memory-bound fusions).
+PEAK_HBM_GBS = {
+    "v4": 1228.0,
+    "v5 lite": 819.0,
+    "v5e": 819.0,
+    "v5p": 2765.0,
+    "v6 lite": 1640.0,
+    "v6e": 1640.0,
+}
+
+
+def peak_hbm_gbs(device_kind: str):
+    """Peak HBM GB/s for a jax ``device_kind`` string, or None."""
+    kind = device_kind.lower()
+    return next((v for k, v in PEAK_HBM_GBS.items() if k in kind), None)
