@@ -114,44 +114,52 @@ def main():
     mfu, step_tflops = cost_mfu(
         lambda: step.lower(state, data, 1e-3, 2.5e-5, 30), med_ms)
 
-    # End-to-end host-fed window (VERDICT r3 item 4): the real BatchLoader
-    # (full 512^2 train augmentation stack, native C++ hot path) ->
-    # per-batch device_put -> the same jitted step, overlapped like
-    # Trainer.train_epoch. Reported alongside the pre-staged number so the
-    # host-pipeline overhead is a same-session measured delta
-    # (tools/bench_e2e.py has the worker-scaling breakdown). Reference hot
-    # path: DataLoader(num_workers=6) + per-iteration .cuda() copies
+    # End-to-end host-fed windows (VERDICT r3 item 4 / r4 item 2): the real
+    # BatchLoader (full 512^2 train augmentation stack, native C++ hot
+    # path) -> per-batch device_put -> the same jitted step, overlapped
+    # like Trainer.train_epoch. The PRIMARY row is the production
+    # configuration (uint8 wire + fork-process workers — the training
+    # defaults since round 5); the f32/thread row is kept alongside for
+    # cross-round comparability with BENCH_r01-r04. Reference hot path:
+    # DataLoader(num_workers=6) + per-iteration .cuda() copies
     # (train_use_fix_initial.py:170-177).
-    host_fed = None
-    try:
+    def host_fed_config(hf_wire: str, backend: str, workers: int,
+                        st, hf_steps: int = 12):
         from uda_clr_tpu.data import SyntheticFundus, train_transforms
         from uda_clr_tpu.utils import hostfeed
 
-        # pure H2D transfer of one step batch, measured BEFORE any loader
-        # exists (prefetch threads competing for this box's single core
-        # would otherwise inflate it); `data` is already in the wire
-        # format, so this is the wire-format transfer cost
-        one = {k: np.asarray(jax.device_get(v)) for k, v in data.items()}
+        ds_s = SyntheticFundus(n=16, size=size + 32,
+                               transform=train_transforms(size, wire=hf_wire))
+        ds_t = SyntheticFundus(n=16, size=size + 32,
+                               transform=train_transforms(size, wire=hf_wire),
+                               seed=1)
+        # pure H2D transfer of one REAL loader batch in THIS wire format
+        # (the pre-staged bench batch is random noise, not encodable u8),
+        # measured BEFORE any loader workers exist — prefetch competing
+        # for this box's single core would otherwise inflate it
+        one_s = [ds_s.get(i, np.random.default_rng((0, i))) for i in range(batch)]
+        one_t = [ds_t.get(i, np.random.default_rng((1, i))) for i in range(batch)]
+        from uda_clr_tpu.data.pipeline import collate
+
+        bs0, bt0 = collate(one_s), collate(one_t)
+        one = {"image_s": bs0["image"], "map_s": bs0["map"],
+               "boundary_s": bs0["boundary"], "image_t": bt0["image"]}
         h2d_ms, nbytes = hostfeed.h2d_probe(one, sh)
 
-        workers = min(2, os.cpu_count() or 1)
-        ds_s = SyntheticFundus(n=16, size=size + 32,
-                               transform=train_transforms(size, wire=wire))
-        ds_t = SyntheticFundus(n=16, size=size + 32,
-                               transform=train_transforms(size, wire=wire), seed=1)
-
-        hf_steps = 12
-        gen = hostfeed.paired_batches(ds_s, ds_t, batch, workers)
-        hf_ms, state = hostfeed.host_fed_window(step, state, gen, sh, hf_steps)
+        gen = hostfeed.paired_batches(ds_s, ds_t, batch, workers,
+                                      backend=backend)
+        hf_ms, st = hostfeed.host_fed_window(step, st, gen, sh, hf_steps)
         # pure loader pulls (host augmentation+collation, no device work);
         # with the h2d number above this decomposes the host-fed step — on
-        # this tunneled-relay box the ~75 MB/step device_put dominates,
+        # this tunneled-relay box the per-step device_put dominates,
         # production PCIe hosts move it in ~10 ms
         load_ms = hostfeed.pure_load_ms(gen, hf_steps, workers=workers)
-        host_fed = {
+        gen.close()
+        row = {
             "step_ms": round(hf_ms, 1),
             "img_per_sec_chip": round(batch / (hf_ms / 1e3) / n_data, 2),
-            "wire": wire,
+            "wire": hf_wire,
+            "backend": backend,
             "workers": workers,
             "host_cores": os.cpu_count(),
             "device_fraction": round(med_ms / hf_ms, 3),
@@ -159,10 +167,20 @@ def main():
             "h2d_mbytes": round(nbytes / 1e6, 1),
             "load_ms": round(load_ms, 1),
         }
-        print(f"# host-fed ({workers} workers): {hf_ms:.1f} ms/step",
-              file=sys.stderr, flush=True)
+        print(f"# host-fed ({hf_wire}/{backend} x{workers}): "
+              f"{hf_ms:.1f} ms/step", file=sys.stderr, flush=True)
+        return row, st
+
+    host_fed = host_fed_f32 = None
+    workers = min(2, os.cpu_count() or 1)
+    try:
+        host_fed, state = host_fed_config("u8", "process", workers, state)
     except Exception as e:  # never let the host pipeline break the headline
-        print(f"# host-fed window unavailable: {e}", file=sys.stderr)
+        print(f"# host-fed u8 window unavailable: {e}", file=sys.stderr)
+    try:
+        host_fed_f32, state = host_fed_config("f32", "thread", workers, state)
+    except Exception as e:
+        print(f"# host-fed f32 window unavailable: {e}", file=sys.stderr)
 
     ips_per_chip = batch / (med_ms / 1e3) / n_data
     result = {
@@ -172,11 +190,16 @@ def main():
         "value": round(ips_per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips_per_chip / A100_REFERENCE_IMG_PER_SEC, 3),
+        # the denominator is a documented ESTIMATE (BASELINE.md
+        # sensitivity): plausible A100 numbers 15-25 img/s bound the ratio
+        "vs_baseline_range": [round(ips_per_chip / 25.0, 2),
+                              round(ips_per_chip / 15.0, 2)],
         "step_ms_median": round(med_ms, 1),
         "step_ms_windows": [round(w, 1) for w in window_ms],
         "mfu": round(mfu, 4) if mfu is not None else None,
         "step_tflops": round(step_tflops, 2) if step_tflops is not None else None,
         "host_fed": host_fed,
+        "host_fed_f32": host_fed_f32,
         "device_kind": jax.devices()[0].device_kind,
     }
     print(json.dumps(result))
