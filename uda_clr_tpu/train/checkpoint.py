@@ -24,12 +24,16 @@ def save_checkpoint(
 ) -> str:
     path = os.path.abspath(os.path.join(ckpt_dir, tag))
     ckptr = ocp.StandardCheckpointer()
+    # multi-process: EVERY process must make this call (orbax save runs a
+    # cross-process sync internally; trainer.py:validate) — orbax itself
+    # keeps the write single-writer. The meta sidecar is ours: main only.
     ckptr.save(path, jax.device_get(state), force=True)
     ckptr.wait_until_finished()
-    with open(os.path.join(ckpt_dir, f"{tag}.meta.json"), "w") as f:
-        json.dump(
-            {"epoch": epoch, "best_mean_dice": best_mean_dice, "iteration": iteration}, f
-        )
+    if jax.process_index() == 0:
+        with open(os.path.join(ckpt_dir, f"{tag}.meta.json"), "w") as f:
+            json.dump(
+                {"epoch": epoch, "best_mean_dice": best_mean_dice, "iteration": iteration}, f
+            )
     return path
 
 

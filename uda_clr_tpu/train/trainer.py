@@ -37,12 +37,27 @@ from uda_clr_tpu.utils.ramps import get_current_consistency_weight
 _ADVERSARIAL_METHODS = {"adversarial", "posal", "prototype", "prototype_full", "prototype_mt", "mean_teacher", "bcdm"}
 
 
+class _NoopSink:
+    """Write-nothing stand-in for CsvLogger/ScalarWriter on non-main
+    processes (multi-process DP keeps logging single-writer)."""
+
+    def __getattr__(self, name):
+        return lambda *a, **k: None
+
+
 class Trainer:
     def __init__(self, cfg: Config, datasets: dict | None = None):
         """``datasets``: optional {'source','target','val'} override (tests);
         otherwise built from cfg.data (synthetic or fundus directories)."""
         self.cfg = cfg
         self.method = cfg.method.method
+        # multi-process DP (config-gated; parallel/distributed.py): MUST
+        # run before anything touches a jax backend in this process
+        from uda_clr_tpu.parallel import distributed as dist_lib
+
+        self._dist = dist_lib
+        self._multiprocess = dist_lib.maybe_initialize(cfg.run)
+        self._is_main = jax.process_index() == 0
         # a full-step TPU compile costs minutes over this environment's
         # relay; the on-disk executable cache makes stage-2 / resumed /
         # repeated runs of the same config start in seconds
@@ -51,8 +66,9 @@ class Trainer:
 
         enable_persistent_compile_cache()
         os.makedirs(cfg.run.out_dir, exist_ok=True)
-        with open(os.path.join(cfg.run.out_dir, "config.yaml"), "w") as f:
-            f.write(cfg.to_yaml())
+        if self._is_main:
+            with open(os.path.join(cfg.run.out_dir, "config.yaml"), "w") as f:
+                f.write(cfg.to_yaml())
 
         mesh_shape = cfg.run.mesh_shape
         if mesh_shape is None:
@@ -65,6 +81,10 @@ class Trainer:
         self.mesh = get_mesh(mesh_shape)
         self._batch_sharding = batch_sharding(self.mesh)
         self._replicated = replicated_sharding(self.mesh)
+        if self._multiprocess and cfg.run.viz_every:
+            # train-viz pulls batch-sharded per-pixel arrays to the host,
+            # which a process can't do for non-addressable shards
+            cfg.run.viz_every = 0
 
         size = cfg.data.image_size
         wire_fmt = cfg.data.wire
@@ -100,11 +120,17 @@ class Trainer:
         bs = cfg.data.batch_size
         nw = cfg.data.num_workers
         lb = cfg.data.loader_backend
+        # multi-process: every process derives the same global batches and
+        # loads only its rows (globally-keyed per-sample rngs); the val
+        # loader stays unsharded — validation runs replicated (below)
+        pi, pc = (jax.process_index(), jax.process_count()) if self._multiprocess else (0, 1)
         self.loader_s = BatchLoader(
-            self.ds_s, bs, shuffle=True, seed=cfg.run.seed, num_workers=nw, backend=lb
+            self.ds_s, bs, shuffle=True, seed=cfg.run.seed, num_workers=nw, backend=lb,
+            process_index=pi, process_count=pc,
         )
         self.loader_t = BatchLoader(
-            self.ds_t, bs, shuffle=False, seed=cfg.run.seed + 1, num_workers=nw, backend=lb
+            self.ds_t, bs, shuffle=False, seed=cfg.run.seed + 1, num_workers=nw, backend=lb,
+            process_index=pi, process_count=pc,
         )
         self.loader_val = BatchLoader(
             self.ds_val, bs, shuffle=False, drop_last=False, num_workers=nw, backend=lb
@@ -133,13 +159,15 @@ class Trainer:
             state = state.replace(
                 proto_bank={k: jnp.asarray(bank[k], jnp.float32) for k in ("bu", "cup", "disc")}
             )
-        self.state = jax.device_put(state, self._replicated)
+        self.state = self._put_replicated(state)
 
         self._steps = {}  # (proto_phase,) -> compiled step
         self._eval_step = make_eval_step(self.model, dtype)
 
-        self.csv = CsvLogger(cfg.run.out_dir)
-        self.writer = ScalarWriter(cfg.run.out_dir)
+        # non-main processes keep every metric/guard live but write no
+        # files (single-writer logging; checkpoints likewise below)
+        self.csv = CsvLogger(cfg.run.out_dir) if self._is_main else _NoopSink()
+        self.writer = ScalarWriter(cfg.run.out_dir) if self._is_main else _NoopSink()
         self.timer = StepTimer()
         self.epoch = 0
         self.iteration = -1  # last completed global step; -1 = none yet
@@ -217,7 +245,7 @@ class Trainer:
                 provenance = "no meta sidecar found; params/stats restored"
             print(f"initial_resume: warm-started gen/dis/dis2 from {path} "
                   f"({provenance})")
-        self.state = jax.device_put(state, self._replicated)
+        self.state = self._put_replicated(state)
 
     def _resume(self, tag_or_dir: str):
         if os.path.isdir(tag_or_dir) and ckpt_lib.latest_checkpoint(tag_or_dir) is not None:
@@ -227,7 +255,7 @@ class Trainer:
             ckpt_dir = os.path.join(self.cfg.run.out_dir, "checkpoints")
             tag = tag_or_dir
         state, meta = ckpt_lib.restore_checkpoint(ckpt_dir, tag, self.state)
-        self.state = jax.device_put(state, self._replicated)
+        self.state = self._put_replicated(state)
         self.epoch = int(meta.get("epoch", -1)) + 1
         self.best_mean_dice = float(meta.get("best_mean_dice", 0.0))
         # restore the global iteration counter so TB/CSV step numbering
@@ -236,6 +264,18 @@ class Trainer:
         # batch_idx + epoch*len(loader), so the restored value stays live
         # even if the loader length changed between runs)
         self.iteration = int(meta.get("iteration", self.epoch * len(self.loader_s) - 1))
+
+    def _put_replicated(self, state):
+        """Replicate the TrainState over the mesh. Multi-process: the
+        state is identical on every process (same PRNGKey / same restored
+        checkpoint), so each re-stages its host copy as one logical
+        global replicated array set."""
+        if not self._multiprocess:
+            return jax.device_put(state, self._replicated)
+        host = jax.device_get(state)
+        return jax.tree.map(
+            lambda x: self._dist.put_global(np.asarray(x), self._replicated), host
+        )
 
     def _get_step(self, proto_phase: bool):
         key = (proto_phase,)
@@ -260,8 +300,11 @@ class Trainer:
                 )
             )
         sh = self._batch_sharding
+        # put_global == device_put in single-process mode; multi-process,
+        # `out` holds this process's rows of the global batch
         return {
-            k: jax.device_put(v, sh) if getattr(v, "ndim", 0) > 1 else v for k, v in out.items()
+            k: self._dist.put_global(v, sh) if getattr(v, "ndim", 0) > 1 else v
+            for k, v in out.items()
         }
 
     # ------------------------------------------------------------------
@@ -312,6 +355,14 @@ class Trainer:
                 jax.profiler.start_trace(os.path.join(cfg.run.out_dir, "profile"))
                 prof_open = True
             self.state, metrics = step(self.state, batch, lr_gen, lr_dis, self.epoch)
+            if self._multiprocess:
+                # one collective program in flight at a time: two async
+                # executions can initialize their cross-process (gloo)
+                # communicators in different orders on different
+                # processes and deadlock the rendezvous; on a real TPU
+                # pod the hardware stream orders collectives and this
+                # barrier would be unnecessary
+                jax.block_until_ready(metrics["loss_all"])
             if batch_idx == prof_stop:
                 float(metrics["loss_all"])  # drain the window (see above)
                 jax.profiler.stop_trace()
@@ -421,9 +472,15 @@ class Trainer:
                 map_t = np.repeat(map_t, reps, axis=0)
             # shard the (padded, fixed-shape) eval batch over the data axis
             # so validation uses every chip like training does; uint8
-            # wire batches cross as-is and decode inside the eval step
-            image = jax.device_put(image, self._batch_sharding)
-            map_t = jax.device_put(map_t, self._batch_sharding)
+            # wire batches cross as-is and decode inside the eval step.
+            # Multi-process: validation runs REPLICATED instead (every
+            # process holds the full val batch and computes the full
+            # metrics redundantly — sharded eval logits would not be
+            # host-readable across processes), so the best-model decision
+            # below is identical everywhere without any communication.
+            sh_val = self._replicated if self._multiprocess else self._batch_sharding
+            image = self._dist.put_global(image, sh_val)
+            map_t = self._dist.put_global(map_t, sh_val)
             logits, _, per_image_loss = self._eval_step(variables, image, map_t)
             logits = np.asarray(logits)[:n_valid]
             loss = float(np.mean(np.asarray(per_image_loss)[:n_valid]))
@@ -449,7 +506,7 @@ class Trainer:
         for k in tot:
             tot[k] /= max(n_batches, 1)
 
-        if val_strips:
+        if val_strips and self._is_main:
             from uda_clr_tpu.utils.visualize import save_val_img
 
             save_val_img(self.cfg.run.out_dir, self.epoch, val_strips)
@@ -466,6 +523,12 @@ class Trainer:
         mean_dice = tot["cup_dice"] + tot["disc_dice"]
         ckpt_dir = os.path.join(self.cfg.run.out_dir, "checkpoints")
         os.makedirs(ckpt_dir, exist_ok=True)
+        # best/cadence tracking runs on every process (validation metrics
+        # are replica-identical by construction) and EVERY process calls
+        # save: orbax's save is itself a collective (it runs
+        # sync_global_processes internally and deadlocks if only one
+        # process joins); it coordinates the single writer itself. Only
+        # the meta.json sidecar is main-only (checkpoint.py).
         if mean_dice > self.best_mean_dice:
             self.best_epoch = self.epoch + 1
             self.best_mean_dice = mean_dice
